@@ -206,7 +206,8 @@ def generate_rays(cam2world: jax.Array, intrinsics: jax.Array,
     x_lift = (x_cam - cx + cy * sk / fy - sk * y_cam / fy) / fx * z_cam
     y_lift = (y_cam - cy) / fy * z_cam
 
-    dirs_cam = jnp.stack([x_lift, y_lift, z_cam], axis=-1)  # (B, R, 3)
+    x_lift, y_lift, z_lift = jnp.broadcast_arrays(x_lift, y_lift, z_cam)
+    dirs_cam = jnp.stack([x_lift, y_lift, z_lift], axis=-1)  # (B, R, 3)
     rot = cam2world[:, :3, :3]
     dirs_world = jnp.einsum("bij,brj->bri", rot, dirs_cam)
     dirs_world = normalize_vecs(dirs_world)

@@ -112,6 +112,8 @@ def upfirdn2d(x: jax.Array, kernel: jax.Array | np.ndarray, *,
     none trailing); the reference zero-stuffs to H*up (trailing zeros), so
     we add (up-1) to the trailing pad — identical values, identical size.
     """
+    if not hasattr(kernel, "ndim") or kernel.ndim == 1:
+        kernel = make_fir_kernel(kernel)
     kh, kw = kernel.shape
     c = x.shape[-1]
     k = jnp.asarray(kernel, x.dtype) * jnp.asarray(gain, x.dtype)
@@ -286,6 +288,9 @@ def modulated_conv2d(
         )
         if resample_filter is None:
             resample_filter = make_fir_kernel([1, 3, 3, 1])
+        elif not hasattr(resample_filter, "ndim") \
+                or np.asarray(resample_filter).ndim == 1:
+            resample_filter = make_fir_kernel(resample_filter)
         fh = np.asarray(resample_filter).shape[0]
         # output after FIR: (2H + kh - 2) + p0 + p1 - fh + 1 == 2H
         ptot = fh + 1 - kh

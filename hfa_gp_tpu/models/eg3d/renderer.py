@@ -1,0 +1,350 @@
+"""EG3D volume renderer, TPU-native.
+
+Rebuilds the pickle-internal ImportanceRenderer / OSGDecoder /
+MipRayMarcher2 / RaySampler pipeline (reference: `G.synthesis` call at
+code/networks/headnerf.py:112; architecture from the public EG3D repo,
+arXiv 2112.07945 — see PAPERS.md).
+
+TPU-first choices:
+  * All sample counts are static (48 coarse + 48 fine for the FFHQ
+    config), so the whole march is straight-line tensor code — no
+    data-dependent control flow, everything fuses under jit.
+  * Tri-plane lookup is a vectorized bilinear gather (zeros padding,
+    align_corners=False semantics) expressed with one flat `jnp.take`
+    per corner — XLA lowers this to TPU gathers; a fused Pallas variant
+    lives in core/pallas for the hot path.
+  * Importance resampling uses a broadcast-compare inverse-CDF instead of
+    searchsorted — O(Nc*Nf) VPU ops, zero dynamism.
+  * The per-ray axis is embarrassingly parallel — `parallel.rays` shards
+    it over the mesh for multi-chip rendering (the reference's analog of
+    sequence parallelism, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import ops
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """rendering_kwargs of the ffhqrebalanced512-128 config."""
+    ray_start: float = 2.25
+    ray_end: float = 3.3
+    box_warp: float = 1.0
+    depth_resolution: int = 48
+    depth_resolution_importance: int = 48
+    neural_rendering_resolution: int = 128
+    decoder_lr_mul: float = 1.0
+    decoder_hidden: int = 64
+    decoder_output_dim: int = 32
+    white_back: bool = False
+    clamp_mode: str = "softplus"
+
+
+# ---------------------------------------------------------------------------
+# Tri-plane feature lookup
+# ---------------------------------------------------------------------------
+
+# Fixed plane bases (the *corrected* EG3D convention): rows are the world
+# axes spanning each plane. project_onto_planes maps a world point into
+# each plane's (u, v).
+PLANE_AXES = np.array([
+    [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+    [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+    [[0, 0, 1], [1, 0, 0], [0, 1, 0]],
+], dtype=np.float32)
+_PLANE_INV = np.linalg.inv(PLANE_AXES)  # (3, 3, 3)
+
+
+def project_onto_planes(coordinates: jax.Array) -> jax.Array:
+    """(B, M, 3) world coords → (B, 3, M, 2) per-plane uv."""
+    inv = jnp.asarray(_PLANE_INV, coordinates.dtype)
+    proj = jnp.einsum("bmj,pjk->bpmk", coordinates, inv)
+    return proj[..., :2]
+
+
+def grid_sample_2d(image: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear grid sample, padding_mode='zeros', align_corners=False.
+
+    image: (B, H, W, C); grid: (B, M, 2) in [-1, 1] (x=width, y=height).
+    Returns (B, M, C). Matches torch.nn.functional.grid_sample semantics
+    used by EG3D's sample_from_planes.
+    """
+    b, h, w, c = image.shape
+    x = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5
+    y = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = image.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(image.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def sample_from_planes(planes: jax.Array, coordinates: jax.Array,
+                       box_warp: float) -> jax.Array:
+    """planes: (B, 3, H, W, C); coordinates: (B, M, 3) world.
+    Returns (B, 3, M, C) bilinear features per plane."""
+    b, n_planes, h, w, c = planes.shape
+    coords = (2.0 / box_warp) * coordinates
+    uv = project_onto_planes(coords)                    # (B, 3, M, 2)
+    flat_planes = planes.reshape(b * n_planes, h, w, c)
+    flat_uv = uv.reshape(b * n_planes, -1, 2)
+    feats = grid_sample_2d(flat_planes, flat_uv)
+    return feats.reshape(b, n_planes, -1, c)
+
+
+# ---------------------------------------------------------------------------
+# OSGDecoder
+# ---------------------------------------------------------------------------
+
+
+def init_decoder(key, cfg: RenderConfig, n_features: int = 32) -> Params:
+    k0, k1 = jax.random.split(key)
+    return {
+        "fc0": {"weight": jax.random.normal(
+            k0, (cfg.decoder_hidden, n_features)) / cfg.decoder_lr_mul,
+            "bias": jnp.zeros((cfg.decoder_hidden,))},
+        "fc1": {"weight": jax.random.normal(
+            k1, (1 + cfg.decoder_output_dim, cfg.decoder_hidden))
+            / cfg.decoder_lr_mul,
+            "bias": jnp.zeros((1 + cfg.decoder_output_dim,))},
+    }
+
+
+def decoder_apply(params: Params, cfg: RenderConfig,
+                  sampled_features: jax.Array
+                  ) -> tuple[jax.Array, jax.Array]:
+    """(B, 3, M, C) plane features → (rgb (B, M, 32), sigma (B, M, 1)).
+
+    Features are MEAN-aggregated over the 3 planes; 2-layer MLP with
+    softplus; color squashed to (-0.001, 1.001) via the EG3D sigmoid
+    trick."""
+    x = sampled_features.mean(axis=1)                   # (B, M, C)
+    x = ops.fully_connected(x, **params["fc0"],
+                            lr_multiplier=cfg.decoder_lr_mul)
+    x = jax.nn.softplus(x)
+    x = ops.fully_connected(x, **params["fc1"],
+                            lr_multiplier=cfg.decoder_lr_mul)
+    sigma = x[..., 0:1]
+    rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
+    return rgb, sigma
+
+
+# ---------------------------------------------------------------------------
+# Depth sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(ray_origins: jax.Array, ray_start: float,
+                      ray_end: float, depth_resolution: int,
+                      rng: jax.Array | None = None) -> jax.Array:
+    """(B, R, 3) → (B, R, N, 1) stratified depths. rng=None → midpoints
+    fixed at the bin starts (deterministic inference)."""
+    b, r, _ = ray_origins.shape
+    n = depth_resolution
+    depths = jnp.linspace(ray_start, ray_end, n, dtype=jnp.float32)
+    depths = jnp.broadcast_to(depths[None, None, :, None], (b, r, n, 1))
+    delta = (ray_end - ray_start) / (n - 1)
+    if rng is not None:
+        depths = depths + jax.random.uniform(rng, (b, r, n, 1)) * delta
+    return depths
+
+
+def _smooth_weights(weights: jax.Array) -> jax.Array:
+    """max_pool1d(k=2,s=1,p=1) → avg_pool1d(k=2,s=1) → +0.01 smoothing of
+    marcher weights before building the importance pdf (EG3D
+    sample_importance)."""
+    # weights: (N, L). torch max_pool padding is -inf.
+    neg_inf = jnp.full_like(weights[:, :1], -jnp.inf)
+    padded = jnp.concatenate([neg_inf, weights, neg_inf], axis=1)
+    m = jnp.maximum(padded[:, :-1], padded[:, 1:])      # (N, L+1)
+    a = (m[:, :-1] + m[:, 1:]) / 2.0                    # (N, L)
+    return a + 0.01
+
+
+def sample_pdf(bins: jax.Array, weights: jax.Array, n_importance: int,
+               rng: jax.Array | None = None,
+               eps: float = 1e-5) -> jax.Array:
+    """Inverse-CDF sampling. bins: (N, B); weights: (N, B-?) as in EG3D
+    (weights may be shorter than bins-1 after trimming; the CDF simply
+    spans the first len(weights)+1 bins). Returns (N, n_importance).
+
+    TPU formulation: the searchsorted is a broadcast compare-and-sum —
+    static shapes, no sorting."""
+    n_rays, n_w = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+
+    if rng is None:
+        u = jnp.linspace(0.0, 1.0, n_importance)
+        u = jnp.broadcast_to(u[None], (n_rays, n_importance))
+    else:
+        u = jax.random.uniform(rng, (n_rays, n_importance))
+
+    # searchsorted(cdf, u, right) == #cdf entries <= u
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n_w)
+
+    def take(src, idx):
+        return jnp.take_along_axis(src, idx, axis=1)
+
+    cdf_lo, cdf_hi = take(cdf, below), take(cdf, above)
+    bin_lo, bin_hi = take(bins, below), take(bins, above)
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)
+
+
+def sample_importance(z_vals: jax.Array, weights: jax.Array,
+                      n_importance: int,
+                      rng: jax.Array | None = None) -> jax.Array:
+    """z_vals: (B, R, N, 1); weights: (B, R, N-1, 1) midpoint weights from
+    the coarse march → (B, R, n_importance, 1) fine depths."""
+    b, r, n, _ = z_vals.shape
+    z = z_vals.reshape(b * r, n)
+    w = weights.reshape(b * r, -1)
+    w = _smooth_weights(w)
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    fine = sample_pdf(z_mid, w[:, 1:-1], n_importance, rng=rng)
+    fine = jax.lax.stop_gradient(fine)
+    return fine.reshape(b, r, n_importance, 1)
+
+
+# ---------------------------------------------------------------------------
+# Ray marcher (MipRayMarcher2)
+# ---------------------------------------------------------------------------
+
+
+def ray_march(colors: jax.Array, densities: jax.Array, depths: jax.Array,
+              cfg: RenderConfig
+              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mip-style midpoint compositing.
+
+    colors (B,R,N,C), densities (B,R,N,1), depths (B,R,N,1) →
+    (rgb (B,R,C) in [-1,1], depth (B,R,1), weights (B,R,N-1,1))."""
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+
+    if cfg.clamp_mode == "softplus":
+        densities_mid = jax.nn.softplus(densities_mid - 1.0)
+    else:
+        raise ValueError(cfg.clamp_mode)
+
+    density_delta = densities_mid * deltas
+    alpha = 1.0 - jnp.exp(-density_delta)
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2)
+    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+
+    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
+    weight_total = jnp.sum(weights, axis=-2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) \
+        / jnp.maximum(weight_total, 1e-10)
+    composite_depth = jnp.clip(composite_depth, jnp.min(depths),
+                               jnp.max(depths))
+    if cfg.white_back:
+        composite_rgb = composite_rgb + 1 - weight_total
+    composite_rgb = composite_rgb * 2 - 1
+    return composite_rgb, composite_depth, weights
+
+
+def unify_samples(d1, c1, s1, d2, c2, s2):
+    """Depth-sort-merge of coarse+fine samples along the sample axis."""
+    depths = jnp.concatenate([d1, d2], axis=-2)
+    colors = jnp.concatenate([c1, c2], axis=-2)
+    sigmas = jnp.concatenate([s1, s2], axis=-2)
+    idx = jnp.argsort(depths, axis=-2)
+    depths = jnp.take_along_axis(depths, idx, axis=-2)
+    colors = jnp.take_along_axis(colors,
+                                 jnp.broadcast_to(idx, colors.shape),
+                                 axis=-2)
+    sigmas = jnp.take_along_axis(sigmas, idx, axis=-2)
+    return depths, colors, sigmas
+
+
+# ---------------------------------------------------------------------------
+# Full importance renderer
+# ---------------------------------------------------------------------------
+
+
+def run_model(decoder_params: Params, cfg: RenderConfig, planes: jax.Array,
+              coordinates: jax.Array) -> tuple[jax.Array, jax.Array]:
+    feats = sample_from_planes(planes, coordinates, cfg.box_warp)
+    return decoder_apply(decoder_params, cfg, feats)
+
+
+def render_rays(decoder_params: Params, cfg: RenderConfig,
+                planes: jax.Array, ray_origins: jax.Array,
+                ray_directions: jax.Array,
+                rng: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The ImportanceRenderer: coarse march → importance resample → unified
+    march. planes (B,3,H,W,C); rays (B,R,3) → (feature (B,R,32),
+    depth (B,R,1), weight_sum (B,R,1))."""
+    b, r, _ = ray_origins.shape
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
+                                      cfg.ray_end, cfg.depth_resolution,
+                                      rng=rngs[0])
+    n_coarse = cfg.depth_resolution
+
+    def eval_points(depths):
+        n = depths.shape[2]
+        pts = ray_origins[:, :, None, :] \
+            + depths * ray_directions[:, :, None, :]
+        rgb, sigma = run_model(decoder_params, cfg, planes,
+                               pts.reshape(b, -1, 3))
+        rgb = rgb.reshape(b, r, n, -1)
+        sigma = sigma.reshape(b, r, n, 1)
+        return rgb, sigma
+
+    colors_c, densities_c = eval_points(depths_coarse)
+
+    n_fine = cfg.depth_resolution_importance
+    if n_fine > 0:
+        _, _, weights = ray_march(colors_c, densities_c, depths_coarse, cfg)
+        depths_fine = sample_importance(depths_coarse, weights, n_fine,
+                                        rng=rngs[1])
+        colors_f, densities_f = eval_points(depths_fine)
+        depths, colors, densities = unify_samples(
+            depths_coarse, colors_c, densities_c,
+            depths_fine, colors_f, densities_f)
+        rgb_final, depth_final, weights = ray_march(colors, densities,
+                                                    depths, cfg)
+    else:
+        rgb_final, depth_final, weights = ray_march(colors_c, densities_c,
+                                                    depths_coarse, cfg)
+    return rgb_final, depth_final, jnp.sum(weights, axis=2)

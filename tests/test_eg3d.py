@@ -1,0 +1,220 @@
+"""EG3D generator tests: grid-sample parity vs torch, ray-march parity vs a
+clean-room torch implementation of the MipRayMarcher2 math, and end-to-end
+synthesis shape/jit/determinism checks on a small config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from hfa_gp_tpu.core import camera
+from hfa_gp_tpu.models.eg3d import networks as nets
+from hfa_gp_tpu.models.eg3d import renderer as rnd
+from hfa_gp_tpu.models.eg3d.generator import (EG3DConfig, init_generator,
+                                              mapping, synthesis)
+
+
+def small_config():
+    return EG3DConfig(
+        mapping=nets.MappingConfig(num_layers=2),
+        backbone=nets.BackboneConfig(img_resolution=32, channel_base=2048,
+                                     channel_max=128),
+        sr=nets.SRConfig(input_resolution=16, output_resolution=64,
+                         in_channels=32, block_channels=(32, 16)),
+        render=rnd.RenderConfig(depth_resolution=8,
+                                depth_resolution_importance=8,
+                                neural_rendering_resolution=16),
+    )
+
+
+def test_grid_sample_matches_torch():
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 7, 9, 4)).astype(np.float32)
+    # include far out-of-bounds coords to exercise zeros padding
+    grid = (rng.standard_normal((2, 33, 2)) * 0.9).astype(np.float32)
+    grid[0, :3] = 3.0
+    got = rnd.grid_sample_2d(jnp.asarray(img), jnp.asarray(grid))
+    want = TF.grid_sample(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)),
+        torch.from_numpy(grid).unsqueeze(1),       # (B, 1, M, 2)
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).squeeze(2).permute(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_sample_from_planes_shapes_and_plane_projection():
+    rng = np.random.default_rng(1)
+    planes = jnp.asarray(rng.standard_normal((2, 3, 8, 8, 5)),
+                         dtype=jnp.float32)
+    coords = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 11, 3)),
+                         dtype=jnp.float32)
+    feats = rnd.sample_from_planes(planes, coords, box_warp=1.0)
+    assert feats.shape == (2, 3, 11, 5)
+    # uv projection: plane 0 spans (x, y); a point moved along z must not
+    # change its plane-0 features
+    c2 = coords.at[:, :, 2].add(0.1)
+    f2 = rnd.sample_from_planes(planes, c2, box_warp=1.0)
+    np.testing.assert_allclose(np.asarray(feats[:, 0]),
+                               np.asarray(f2[:, 0]), atol=1e-6)
+
+
+def torch_ray_march(colors, densities, depths):
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+    densities_mid = TF.softplus(densities_mid - 1)
+    density_delta = densities_mid * deltas
+    alpha = 1 - torch.exp(-density_delta)
+    alpha_shifted = torch.cat(
+        [torch.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], -2)
+    weights = alpha * torch.cumprod(alpha_shifted, -2)[:, :, :-1]
+    composite_rgb = torch.sum(weights * colors_mid, -2)
+    weight_total = weights.sum(2)
+    composite_depth = torch.sum(weights * depths_mid, -2) / weight_total
+    composite_depth = torch.nan_to_num(composite_depth, float("inf"))
+    composite_depth = torch.clamp(composite_depth, torch.min(depths),
+                                  torch.max(depths))
+    composite_rgb = composite_rgb * 2 - 1
+    return composite_rgb, composite_depth, weights
+
+
+def test_ray_march_matches_reference_math():
+    rng = np.random.default_rng(2)
+    b, r, n = 2, 5, 9
+    colors = rng.standard_normal((b, r, n, 4)).astype(np.float32)
+    densities = rng.standard_normal((b, r, n, 1)).astype(np.float32)
+    depths = np.sort(rng.uniform(2.25, 3.3, (b, r, n, 1)).astype(np.float32),
+                     axis=2)
+    cfg = rnd.RenderConfig()
+    got_rgb, got_depth, got_w = rnd.ray_march(
+        jnp.asarray(colors), jnp.asarray(densities), jnp.asarray(depths),
+        cfg)
+    want_rgb, want_depth, want_w = torch_ray_march(
+        torch.from_numpy(colors), torch.from_numpy(densities),
+        torch.from_numpy(depths))
+    np.testing.assert_allclose(np.asarray(got_rgb), want_rgb.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_depth), want_depth.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w), want_w.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def torch_sample_pdf(bins, weights, n_importance, u, eps=1e-5):
+    weights = weights + eps
+    pdf = weights / torch.sum(weights, -1, keepdim=True)
+    cdf = torch.cumsum(pdf, -1)
+    cdf = torch.cat([torch.zeros_like(cdf[:, :1]), cdf], -1)
+    inds = torch.searchsorted(cdf, u, right=True)
+    below = torch.clamp_min(inds - 1, 0)
+    above = torch.clamp_max(inds, weights.shape[1])
+    inds_sampled = torch.stack([below, above], -1).view(u.shape[0], -1)
+    cdf_g = torch.gather(cdf, 1, inds_sampled).view(*u.shape, 2)
+    bins_g = torch.gather(bins, 1, inds_sampled).view(*u.shape, 2)
+    denom = cdf_g[..., 1] - cdf_g[..., 0]
+    denom[denom < eps] = 1
+    return bins_g[..., 0] + (u - cdf_g[..., 0]) / denom \
+        * (bins_g[..., 1] - bins_g[..., 0])
+
+
+def test_sample_pdf_matches_reference_math():
+    rng = np.random.default_rng(3)
+    n_rays, n_bins, n_imp = 6, 7, 12
+    bins = np.sort(rng.uniform(2.0, 3.0, (n_rays, n_bins)), axis=1) \
+        .astype(np.float32)
+    weights = rng.uniform(0.0, 1.0, (n_rays, n_bins - 2)).astype(np.float32)
+    # deterministic u (shared by both implementations)
+    u = np.broadcast_to(np.linspace(0, 1, n_imp, dtype=np.float32),
+                        (n_rays, n_imp)).copy()
+    got = rnd.sample_pdf(jnp.asarray(bins), jnp.asarray(weights), n_imp,
+                         rng=None)
+    want = torch_sample_pdf(torch.from_numpy(bins),
+                            torch.from_numpy(weights), n_imp,
+                            torch.from_numpy(u))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_unify_samples_sorted():
+    rng = np.random.default_rng(4)
+    d1 = jnp.asarray(np.sort(rng.uniform(0, 1, (1, 2, 5, 1)), axis=2),
+                     dtype=jnp.float32)
+    d2 = jnp.asarray(np.sort(rng.uniform(0, 1, (1, 2, 4, 1)), axis=2),
+                     dtype=jnp.float32)
+    c1 = d1 * 10
+    c2 = d2 * 10
+    s1, s2 = d1 + 1, d2 + 1
+    d, c, s = rnd.unify_samples(d1, c1, s1, d2, c2, s2)
+    dd = np.asarray(d)[..., 0]
+    assert np.all(np.diff(dd, axis=-1) >= 0)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d) * 10, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(d) + 1, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cfg = small_config()
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_mapping_shapes(gen):
+    cfg, params = gen
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    c = jnp.zeros((2, 25))
+    ws = mapping(params, cfg, z, c)
+    assert ws.shape == (2, cfg.num_ws, 512)
+
+
+def test_synthesis_shapes_jit_and_determinism(gen):
+    cfg, params = gen
+    b = 2
+    ws = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=b, mode=None))
+
+    fn = jax.jit(lambda p, w, c: synthesis(p, cfg, w, c))
+    out = fn(params, ws, label)
+    assert out["image"].shape == (b, 64, 64, 3)
+    assert out["image_raw"].shape == (b, 16, 16, 3)
+    assert out["image_depth"].shape == (b, 16, 16, 1)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    # deterministic (const noise, no render rng)
+    out2 = fn(params, ws, label)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(out2["image"]), atol=1e-6)
+    # depths live inside the frustum
+    d = np.asarray(out["image_depth"])
+    assert d.min() >= cfg.render.ray_start - 1e-4
+    assert d.max() <= cfg.render.ray_end + 1e-4
+
+
+def test_synthesis_camera_sensitivity(gen):
+    """Moving the camera must change the image (rays actually consumed)."""
+    cfg, params = gen
+    ws = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.num_ws, 512))
+    lab1 = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+    lab2 = camera.flip_yz_label(camera.sample_camera_label(
+        None, n=1, mode=None, horizontal_mean=0.35 * np.pi))
+    img1 = synthesis(params, cfg, ws, lab1)["image_raw"]
+    img2 = synthesis(params, cfg, ws, lab2)["image_raw"]
+    assert float(jnp.abs(img1 - img2).max()) > 1e-4
+
+
+def test_synthesis_grad_flows(gen):
+    cfg, params = gen
+    ws = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+
+    def loss(w):
+        return jnp.mean(synthesis(params, cfg, w, label)["image"] ** 2)
+
+    g = jax.grad(loss)(ws)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
