@@ -1,0 +1,69 @@
+"""Headline benchmark: 512² RGB-driven reenactment rendering, frames/sec
+per chip (BASELINE.md target: ≥30 fps/chip on TPU v5p).
+
+Measures the full flagship inference path — encoder → QR subspace → EG3D
+tri-plane synthesis (48+48 importance samples at 128²) → 4x SR to 512² —
+jitted, steady-state, on whatever single accelerator the session exposes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from hfa_gp_tpu.core import camera
+    from hfa_gp_tpu.models.avatar import heads
+    from hfa_gp_tpu.models.eg3d.generator import EG3DConfig
+
+    dev = jax.devices()[0]
+    on_accel = dev.platform != "cpu"
+
+    # bf16 compute in the conv trunks (MXU-native), fp32 renderer.
+    cfg = heads.AvatarConfig(
+        eg3d=EG3DConfig(compute_dtype=jnp.bfloat16 if on_accel
+                        else jnp.float32))
+    batch = 4 if on_accel else 1
+
+    params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
+    image = jax.random.uniform(jax.random.PRNGKey(1),
+                               (batch, cfg.size, cfg.size, 3),
+                               minval=-1.0, maxval=1.0)
+    label = jnp.asarray(np.tile(np.asarray(camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))), (batch, 1)))
+
+    @jax.jit
+    def reenact(params, image, label):
+        weights = heads.rgb_get_weights(params, cfg, image)
+        latent = heads.get_latent(params, weights, cfg)
+        return heads.get_image(params, cfg, latent, label)
+
+    # warmup / compile
+    out = reenact(params, image, label)
+    out.block_until_ready()
+
+    iters = 10 if on_accel else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = reenact(params, image, label)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "512px_reenactment_render",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

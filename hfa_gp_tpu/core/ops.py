@@ -300,10 +300,13 @@ def modulated_conv2d(
         raise NotImplementedError(f"up={up}")
 
     if demodulate:
-        # d: (B, Cout) from w^2 (contract in,kh,kw) x s^2
-        w2 = jnp.sum(jnp.square(w), axis=(0, 1))          # (Cin, Cout)
-        d = jax.lax.rsqrt(jnp.square(s) @ w2 + eps)       # (B, Cout)
-        y = y * d[:, None, None, :]
+        # d: (B, Cout) from w^2 (contract in,kh,kw) x s^2 — accumulated in
+        # fp32 so bf16 compute keeps the normalization exact
+        w32 = weight.astype(jnp.float32)
+        s32 = styles.astype(jnp.float32)
+        w2 = jnp.sum(jnp.square(w32), axis=(0, 1))        # (Cin, Cout)
+        d = jax.lax.rsqrt(jnp.square(s32) @ w2 + eps)     # (B, Cout)
+        y = y * d[:, None, None, :].astype(y.dtype)
     return y
 
 

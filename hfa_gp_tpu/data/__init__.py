@@ -1,0 +1,2 @@
+from .dataset import (HeadData, HeadDataTest, HeadData3DMM,  # noqa: F401
+                      HeadDataAudio, BatchIterator, infinite_batches)

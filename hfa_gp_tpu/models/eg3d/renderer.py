@@ -48,6 +48,11 @@ class RenderConfig:
     decoder_output_dim: int = 32
     white_back: bool = False
     clamp_mode: str = "softplus"
+    # Mesh axis to shard the ray dimension over (sequence-parallel analog:
+    # rays are embarrassingly parallel until image assembly, SURVEY.md
+    # §2.5). None = no constraint. Requires an active mesh
+    # (jax.sharding.use_mesh) when set.
+    ray_shard_axis: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +320,13 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
     depth (B,R,1), weight_sum (B,R,1))."""
     b, r, _ = ray_origins.shape
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    if cfg.ray_shard_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        spec = P(None, cfg.ray_shard_axis)
+        ray_origins = jax.lax.with_sharding_constraint(ray_origins, spec)
+        ray_directions = jax.lax.with_sharding_constraint(ray_directions,
+                                                          spec)
 
     depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
                                       cfg.ray_end, cfg.depth_resolution,

@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, shard_batch, replicate,  # noqa: F401
+                   data_parallel_sharding)

@@ -1,0 +1,61 @@
+"""Device-mesh construction and data-parallel sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-group setup
+(reference code/train_rgb.py:53-57 `dist.init_process_group("nccl")`,
+DDP wrapping at trainer_rgb.py:56): one 2-D `jax.sharding.Mesh`
+(data × model) over ICI; gradients sync through the `psum` XLA inserts
+for batch-sharded inputs under jit — and, unlike the reference's RGB
+trainer (which bypasses DDP via `.module`, SURVEY.md §2.1), the sync here
+is structural: it cannot be skipped.
+
+Axes:
+  * 'data'  — batch dimension (DP). Global batch = per-chip × mesh size,
+    like the reference's `args.batch_size // world_size` split
+    (train_rgb.py:88).
+  * 'model' — tensor/model parallel axis: ray sharding in the renderer
+    (the sequence-parallel analog, SURVEY.md §2.5) and the class-sharded
+    PartialFC softmax (parallel/partial_fc.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data
+    axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model <= n, (n_data, n_model, n)
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch with its leading axis split across 'data'."""
+    sh = data_parallel_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params / optimizer state) on the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
