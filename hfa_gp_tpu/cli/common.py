@@ -1,0 +1,122 @@
+"""Shared CLI plumbing: flags (reference names/defaults), config
+construction, video assembly.
+
+Flag names and defaults mirror reference code/train_rgb.py:159-202 /
+run_recon_video_rgb.py:276-328 so command lines port over unchanged. The
+DDP flags (--addr/--port) are accepted but ignored — multi-chip runs via
+the jax mesh, not process groups."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.avatar.heads import AvatarConfig
+from ..models.eg3d.generator import EG3DConfig
+from ..utils import pytree_io
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--iter", type=int, default=800000)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--dataset", type=str, default="nerface_dataset")
+    p.add_argument("--dataset_root", type=str, default="./datasets")
+    p.add_argument("--person", type=str, default="person_3")
+    p.add_argument("--resume_ckpt", type=str, default=None)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--start_iter", type=int, default=0)
+    p.add_argument("--display_freq", type=int, default=5000)
+    p.add_argument("--save_freq", type=int, default=5000)
+    p.add_argument("--latent_dim_style", type=int, default=512)
+    p.add_argument("--latent_dim_shape", type=int, default=50)
+    p.add_argument("--exp_path", type=str, default="./exps/")
+    p.add_argument("--exp_name", type=str, default="v1")
+    p.add_argument("--tune_iter", type=int, default=50000)
+    p.add_argument("--out_pose", action="store_true", default=False)
+    p.add_argument("--use_softmax", action="store_true", default=False)
+    # accepted for command-line parity; the mesh replaces process groups
+    p.add_argument("--addr", type=str, default="localhost")
+    p.add_argument("--port", type=str, default="12345")
+    # TPU-native additions
+    p.add_argument("--eg3d_weights", type=str, default=None,
+                   help="npz from tools/convert_pickle.py "
+                        "(ffhqrebalanced512-128.pkl)")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="npz from tools/convert_lpips.py")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 compute in conv trunks")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="mesh model-axis size (ray sharding)")
+
+
+def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
+    from ..models.eg3d import networks as nets
+    from ..models.eg3d import renderer as rnd
+    from ..parallel import mesh as mesh_mod
+    render = rnd.RenderConfig(
+        ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None)
+    eg3d = EG3DConfig(
+        render=render,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    kw = dict(size=args.size, dim=args.latent_dim_style,
+              dim_shape=args.latent_dim_shape,
+              use_softmax=args.use_softmax,
+              out_pose=getattr(args, "out_pose", False), eg3d=eg3d)
+    if params_len is not None:
+        kw["params_len"] = params_len
+    return AvatarConfig(**kw)
+
+
+def load_generator_weights(args):
+    if args.eg3d_weights is None:
+        return None
+    return pytree_io.load_npz(args.eg3d_weights)
+
+
+def load_lpips(args, key=None):
+    from ..models import lpips as lpips_mod
+    if args.lpips_weights is not None:
+        return pytree_io.load_npz(args.lpips_weights)
+    return lpips_mod.init_lpips(key if key is not None
+                                else jax.random.PRNGKey(777))
+
+
+def make_dirs(args) -> dict[str, str]:
+    base = os.path.join(args.exp_path, args.exp_name)
+    dirs = {n: os.path.join(base, n)
+            for n in ("log", "checkpoint", "display", "bases")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    return dirs
+
+
+def write_video(png_dir: str, out_path: str, fps: int = 24,
+                side_by_side_dir: str | None = None) -> str:
+    """Assemble sorted pngs into a video (libx264 when an ffmpeg backend
+    exists, MJPEG-AVI fallback otherwise), optional side-by-side GT concat
+    (run_recon_video_rgb.py:239-272). Returns the written path."""
+    from PIL import Image
+
+    from ..utils.video import write_video_frames
+    frames = sorted(glob.glob(os.path.join(png_dir, "*.png")))
+    gt_frames = sorted(
+        f for f in glob.glob(os.path.join(side_by_side_dir, "*"))
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )[:len(frames)] if side_by_side_dir else None
+
+    def gen():
+        for i, f in enumerate(frames):
+            img = np.asarray(Image.open(f).convert("RGB"))
+            if gt_frames:
+                gt = np.asarray(Image.open(gt_frames[i]).convert("RGB")
+                                .resize((img.shape[1], img.shape[0])))
+                img = np.concatenate([gt, img], axis=1)
+            yield img
+
+    return write_video_frames(gen(), out_path, fps=fps)

@@ -1,0 +1,87 @@
+"""3DMM-coefficient-driven training CLI (reference code/train_3dmm.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..data import BatchIterator, HeadData3DMM, infinite_batches
+from ..models.avatar import heads
+from ..parallel import mesh as mesh_mod
+from ..train import checkpoint as ckpt
+from ..train import t3dmm as t3dmm_train
+from ..train.state import init_state, make_optimizer
+from ..utils.logging import MetricsWriter, display_image
+from . import common
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    common.add_common_flags(p)
+    p.add_argument("--params_len", type=int, default=76)
+    return p
+
+
+def main(args) -> None:
+    dirs = common.make_dirs(args)
+    writer = MetricsWriter(dirs["log"])
+    cfg = common.avatar_config(args, params_len=args.params_len)
+    root = f"{args.dataset_root}/{args.dataset}"
+
+    dataset = HeadData3DMM("train", size=args.size, root=root,
+                           person=args.person)
+    dataset_test = HeadData3DMM("test", size=args.size, root=root,
+                                person=args.person)
+    loader = infinite_batches(BatchIterator(dataset, args.batch_size))
+    loader_test = infinite_batches(
+        BatchIterator(dataset_test, 1, shuffle=False))
+
+    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
+    gen_params = common.load_generator_weights(args)
+    params = heads.init_avatar_3dmm(jax.random.PRNGKey(0), cfg, gen_params)
+    lpips_params = common.load_lpips(args)
+    tx = make_optimizer(args.lr)
+    step_fn = t3dmm_train.make_train_step(cfg, tx, args.tune_iter)
+
+    @jax.jit
+    def sample_fn(params, coeffs, label):
+        return heads.t3dmm_forward(params, cfg, coeffs, label)
+
+    with jax.sharding.set_mesh(mesh):
+        state = init_state(mesh_mod.replicate(mesh, params), tx)
+        state = state._replace(
+            opt_state=mesh_mod.replicate(mesh, state.opt_state))
+        lpips_params = mesh_mod.replicate(mesh, lpips_params)
+
+        if args.resume_ckpt is not None:
+            state = ckpt.restore(args.resume_ckpt, state)
+            args.start_iter = int(state.step)
+
+        for idx in range(args.iter):
+            i = idx + args.start_iter
+            real_image, label, coeffs = next(loader)
+            batch = mesh_mod.shard_batch(mesh, (real_image, label, coeffs))
+            state, metrics = step_fn(state, lpips_params, *batch)
+            writer.scalars(idx, l2_loss=metrics["l2_loss"],
+                           lpips_loss=metrics["lpips_loss"],
+                           l2_loss_3dmm=metrics["l2_loss_3dmm"])
+
+            if (i + 1) % args.display_freq == 0:
+                print(f"[Iter {i}/{args.iter}] "
+                      f"[l2 loss: {float(metrics['l2_loss']):f}] "
+                      f"[lpips loss: {float(metrics['lpips_loss']):f}]")
+                real_t, label_t, coeffs_t = next(loader_test)
+                recon = sample_fn(state.params, coeffs_t, label_t)
+                display_image(real_t, f"{dirs['display']}/{i}source.png")
+                display_image(np.asarray(recon),
+                              f"{dirs['display']}/{i}recon.png")
+
+            if (i + 1) % args.save_freq == 0:
+                ckpt.save(state, dirs["checkpoint"], step=i)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

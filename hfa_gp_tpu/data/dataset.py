@@ -85,6 +85,22 @@ class HeadData:
         return (load_image(self.frames[idx], self.size),
                 self.get_label(idx))
 
+    def rotate_labels(self, yaw_deg: float = 30.0,
+                      pitch_deg: float = 0.0) -> None:
+        """Apply a fixed extra rotation to every pose — reference
+        rotate_labels (dataset.py:319-337), used for novel-view demos."""
+        from scipy.spatial.transform import Rotation as R
+        rot = (R.from_rotvec([0, yaw_deg * np.pi / 180.0, 0])
+               * R.from_rotvec([pitch_deg * np.pi / 180.0, 0, 0]))
+        intr = np.array([4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1],
+                        dtype=np.float32)
+        for k, label in self.labels.items():
+            m = label[:-9].reshape(4, 4).copy()
+            m[:3, :] = rot.as_matrix() @ m[:3, :]
+            self.labels[k] = np.concatenate(
+                [m.reshape(-1), intr]).astype(np.float32)
+
+
 
 class HeadDataTest(HeadData):
     """Sorted inference dataset with optional temporal label smoothing and
@@ -101,21 +117,6 @@ class HeadDataTest(HeadData):
         arr = np.stack([self.labels[k] for k in keys])
         arr = gaussian_filter1d(arr, sigma, axis=0)
         return {k: arr[i] for i, k in enumerate(keys)}
-
-    def rotate_labels(self, yaw_deg: float = 30.0,
-                      pitch_deg: float = 0.0) -> None:
-        """Apply a fixed extra rotation to every pose — reference
-        rotate_labels (dataset.py:319-337), used for novel-view demos."""
-        from scipy.spatial.transform import Rotation as R
-        rot = (R.from_rotvec([0, yaw_deg * np.pi / 180.0, 0])
-               * R.from_rotvec([pitch_deg * np.pi / 180.0, 0, 0]))
-        intr = np.array([4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1],
-                        dtype=np.float32)
-        for k, label in self.labels.items():
-            m = label[:-9].reshape(4, 4).copy()
-            m[:3, :] = rot.as_matrix() @ m[:3, :]
-            self.labels[k] = np.concatenate(
-                [m.reshape(-1), intr]).astype(np.float32)
 
 
 class HeadData3DMM(HeadData):

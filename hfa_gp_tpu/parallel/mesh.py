@@ -40,6 +40,20 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_for_batch(batch_size: int, n_model: int = 1,
+                        devices=None) -> Mesh:
+    """Mesh whose data axis divides the global batch (the reference
+    asserts divisibility implicitly via batch_size // world_size,
+    train_rgb.py:88; here we auto-shrink the data axis instead)."""
+    devices = devices if devices is not None else jax.devices()
+    avail = max(len(devices) // n_model, 1)
+    n_data = 1
+    for d in range(1, avail + 1):
+        if batch_size % d == 0:
+            n_data = d
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+
 def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

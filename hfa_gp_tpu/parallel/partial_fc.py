@@ -1,0 +1,186 @@
+"""PartialFC — class-sharded (model-parallel) margin-softmax classifier.
+
+TPU-native rebuild of the reference's only tensor-parallel system
+(eg3d-pose-detection/models/arcface_torch/partial_fc.py):
+
+  * each 'model'-axis shard owns `num_classes / n_model` class centers
+    (partial_fc.py:61-66);
+  * embeddings + labels are all-gathered across the mesh
+    (partial_fc.py:179-191 / the grad-aware AllGather at :501-531 —
+    here `jax.lax.all_gather` inside shard_map, whose transpose is the
+    reduce-scatter, so the backward is correct by construction);
+  * the softmax over the row-sharded logit matrix uses pmax / psum over
+    the 'model' axis (DistCrossEntropy, partial_fc.py:441-498);
+  * `sample_rate < 1` keeps positives + random negative centers each step
+    (partial_fc.py:96-136). Unsampled rows receive zero gradient (their
+    Adam moments decay rather than freeze — the functional analog of the
+    reference's optimizer-state surgery).
+
+Margin losses (arcface_torch/losses.py:5-106) are plain functions.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Margin losses (CombinedMarginLoss: m1·θ + m2 margin, −m3 offset)
+# ---------------------------------------------------------------------------
+
+
+def combined_margin(target_logit: jax.Array, m1: float, m2: float,
+                    m3: float) -> jax.Array:
+    """cos(m1·θ + m2) − m3 applied to the target-class cosine."""
+    if m1 == 1.0 and m2 == 0.0:
+        return target_logit - m3
+    theta = jnp.arccos(jnp.clip(target_logit, -1.0, 1.0))
+    return jnp.cos(m1 * theta + m2) - m3
+
+
+def arcface_margin(target_logit: jax.Array, m: float = 0.5) -> jax.Array:
+    return combined_margin(target_logit, 1.0, m, 0.0)
+
+
+def cosface_margin(target_logit: jax.Array, m: float = 0.4) -> jax.Array:
+    return combined_margin(target_logit, 1.0, 0.0, m)
+
+
+# ---------------------------------------------------------------------------
+# PartialFC
+# ---------------------------------------------------------------------------
+
+
+class PartialFC:
+    """Class-sharded margin softmax over a (data, model) mesh.
+
+    weight: (num_classes, embedding_dim), sharded on axis 0 over 'model'.
+    Embeddings arrive sharded over 'data' (the DP batch); loss comes back
+    replicated. Use `loss_and_grads` inside a jitted train step.
+    """
+
+    def __init__(self, mesh: Mesh, num_classes: int,
+                 embedding_dim: int = 512, *, s: float = 64.0,
+                 m1: float = 1.0, m2: float = 0.5, m3: float = 0.0,
+                 sample_rate: float = 1.0):
+        self.mesh = mesh
+        self.n_model = mesh.shape[MODEL_AXIS]
+        self.n_data = mesh.shape[DATA_AXIS]
+        assert num_classes % self.n_model == 0, \
+            "pad num_classes to a multiple of the model axis"
+        self.num_classes = num_classes
+        self.num_local = num_classes // self.n_model
+        self.embedding_dim = embedding_dim
+        self.s, self.m1, self.m2, self.m3 = s, m1, m2, m3
+        self.sample_rate = sample_rate
+        self.num_sample = max(1, int(sample_rate * self.num_local))
+
+    def init(self, key: jax.Array) -> jax.Array:
+        w = jax.random.normal(key, (self.num_classes, self.embedding_dim),
+                              jnp.float32) * 0.01
+        return jax.device_put(
+            w, NamedSharding(self.mesh, P(MODEL_AXIS, None)))
+
+    def weight_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(MODEL_AXIS, None))
+
+    # -- the sharded loss ---------------------------------------------------
+
+    def loss(self, weight: jax.Array, embeddings: jax.Array,
+             labels: jax.Array, sample_key: jax.Array | None = None
+             ) -> jax.Array:
+        """Mean margin-softmax CE. embeddings (B_local…,) sharded over
+        'data'; labels int32 (B,), −1 = no positive class."""
+
+        num_local = self.num_local
+        num_sample = self.num_sample
+        sampled = self.sample_rate < 1.0
+        s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
+
+        def shard_fn(w_local, emb_local, lab_local, key):
+            # all-gather the DP batch so every model shard sees the global
+            # batch (partial_fc.py:179-191)
+            emb = jax.lax.all_gather(emb_local, DATA_AXIS, axis=0,
+                                     tiled=True)
+            lab = jax.lax.all_gather(lab_local, DATA_AXIS, axis=0,
+                                     tiled=True)
+            shard_idx = jax.lax.axis_index(MODEL_AXIS)
+            lo = shard_idx * num_local
+            # map global labels into this shard's local class range
+            local_lab = jnp.where((lab >= lo) & (lab < lo + num_local),
+                                  lab - lo, -1)
+
+            if sampled:
+                # positives get priority 2.0, negatives random — topk
+                # keeps all positives + random negatives
+                # (partial_fc.py:96-136)
+                perm = jax.random.uniform(
+                    jax.random.fold_in(key, shard_idx), (num_local,))
+                pos = jnp.where(local_lab >= 0, local_lab, 0)
+                perm = perm.at[pos].set(
+                    jnp.where(local_lab >= 0, 2.0, perm[pos]))
+                _, index = jax.lax.top_k(perm, num_sample)
+                index = jnp.sort(index)
+                w_used = w_local[index]
+                # remap local labels into the sampled index space
+                remap = jnp.searchsorted(index, jnp.maximum(local_lab, 0))
+                hit = (local_lab >= 0) & (index[jnp.clip(
+                    remap, 0, num_sample - 1)] == local_lab)
+                local_lab = jnp.where(hit, remap, -1)
+            else:
+                w_used = w_local
+
+            norm_emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+            norm_w = w_used / jnp.linalg.norm(w_used, axis=1,
+                                              keepdims=True)
+            logits = jnp.clip(norm_emb @ norm_w.T, -1.0, 1.0)
+
+            # margin on the target column (this shard only)
+            b = logits.shape[0]
+            rows = jnp.arange(b)
+            has_target = local_lab >= 0
+            cols = jnp.maximum(local_lab, 0)
+            tgt = logits[rows, cols]
+            tgt_m = combined_margin(tgt, m1, m2, m3)
+            logits = logits.at[rows, cols].set(
+                jnp.where(has_target, tgt_m, tgt))
+            logits = logits * s
+
+            # distributed softmax CE (partial_fc.py:441-498)
+            # the max shift is gradient-free in softmax; stop_gradient lets
+            # pmax (no diff rule) sit under jax.grad
+            local_max = jax.lax.stop_gradient(jnp.max(logits, axis=1))
+            gmax = jax.lax.pmax(local_max, MODEL_AXIS)
+            ex = jnp.exp(logits - gmax[:, None])
+            denom = jax.lax.psum(jnp.sum(ex, axis=1), MODEL_AXIS)
+            tgt_logit = jnp.where(has_target, logits[rows, cols], 0.0)
+            tgt_term = jax.lax.psum(
+                jnp.where(has_target, tgt_logit - gmax, 0.0), MODEL_AXIS)
+            valid = jax.lax.psum(has_target.astype(jnp.float32),
+                                 MODEL_AXIS)
+            per_sample = (jnp.log(denom) - tgt_term) * jnp.minimum(
+                valid, 1.0)
+            n_valid = jnp.maximum(jnp.sum(jnp.minimum(valid, 1.0)), 1.0)
+            return (jnp.sum(per_sample) / n_valid)[None]
+
+        if sample_key is None:
+            sample_key = jax.random.PRNGKey(0)
+        fn = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
+                      P(DATA_AXIS), P()),
+            out_specs=P(),
+            check_rep=False)
+        return fn(weight, embeddings, labels, sample_key)[0]

@@ -1,0 +1,134 @@
+"""End-to-end CLI smoke tests on synthetic fixtures with a tiny config:
+train a few iterations, checkpoint, resume, and render a reenactment
+video — the minimum end-to-end slice of SURVEY.md §7.2."""
+
+import dataclasses
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import hfa_gp_tpu.cli.common as common
+from hfa_gp_tpu.models.avatar import heads
+from tests.fixtures import make_avatar_dataset
+from tests.test_eg3d import small_config
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_patch(monkeypatch_module=None):
+    """Patch common.avatar_config to the tiny EG3D config so CLI runs are
+    CPU-friendly."""
+    orig = common.avatar_config
+
+    def tiny(args, params_len=None):
+        kw = dict(size=args.size, dim=args.latent_dim_style,
+                  dim_shape=args.latent_dim_shape,
+                  use_softmax=args.use_softmax,
+                  out_pose=getattr(args, "out_pose", False),
+                  eg3d=small_config())
+        if params_len is not None:
+            kw["params_len"] = params_len
+        if hasattr(args, "dim_aud"):
+            kw.update(dim_aud=args.dim_aud, win_size=args.win_size,
+                      smo_size=args.smo_size)
+        return heads.AvatarConfig(**kw)
+
+    common.avatar_config = tiny
+    yield
+    common.avatar_config = orig
+
+
+@pytest.fixture(scope="module")
+def rgb_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    make_avatar_dataset(str(root / "nerface_dataset"))
+    return str(root)
+
+
+def test_train_rgb_cli_and_reenact(tiny_cfg_patch, rgb_root, tmp_path):
+    from hfa_gp_tpu.cli import run_recon_video_rgb, train_rgb
+
+    exp = str(tmp_path / "exps") + "/"
+    args = train_rgb.build_argparser().parse_args([
+        "--iter", "2", "--size", "64", "--batch_size", "2",
+        "--dataset_root", rgb_root, "--person", "person_3",
+        "--latent_dim_shape", "4", "--exp_path", exp,
+        "--display_freq", "2", "--save_freq", "2", "--tune_iter", "1000",
+    ])
+    train_rgb.main(args)
+    ckpts = glob.glob(os.path.join(exp, "v1", "checkpoint", "*"))
+    assert ckpts, "no checkpoint written"
+    assert glob.glob(os.path.join(exp, "v1", "display", "*.png"))
+    assert os.path.exists(os.path.join(exp, "v1", "log", "metrics.jsonl"))
+
+    # resume from the checkpoint
+    args2 = train_rgb.build_argparser().parse_args([
+        "--iter", "1", "--size", "64", "--batch_size", "2",
+        "--dataset_root", rgb_root, "--person", "person_3",
+        "--latent_dim_shape", "4", "--exp_path", exp,
+        "--display_freq", "100", "--save_freq", "100",
+        "--tune_iter", "1000", "--resume_ckpt", sorted(ckpts)[-1],
+    ])
+    train_rgb.main(args2)
+
+    # reenactment from the trained checkpoint
+    demo = str(tmp_path / "demo")
+    rargs = run_recon_video_rgb.build_argparser().parse_args([
+        "--size", "64", "--dataset_root", rgb_root,
+        "--person", "person_3", "--latent_dim_shape", "4",
+        "--model_path", sorted(ckpts)[-1], "--demo_dir", demo,
+        "--demo_name", "t", "--render_batch", "2", "--fps", "4",
+    ])
+    run_recon_video_rgb.main(rargs)
+    pngs = glob.glob(os.path.join(demo, "t", "*.png"))
+    assert len(pngs) == 4                      # n_test frames
+    assert glob.glob(os.path.join(demo, "t", "*.mp4")) \
+        or glob.glob(os.path.join(demo, "t", "*.avi"))
+
+
+def test_train_3dmm_cli(tiny_cfg_patch, rgb_root, tmp_path):
+    from hfa_gp_tpu.cli import train_3dmm
+
+    exp = str(tmp_path / "exps3") + "/"
+    args = train_3dmm.build_argparser().parse_args([
+        "--iter", "2", "--size", "64", "--batch_size", "2",
+        "--dataset_root", rgb_root, "--person", "person_3",
+        "--latent_dim_shape", "4", "--exp_path", exp,
+        "--display_freq", "100", "--save_freq", "2",
+        "--tune_iter", "1000",
+    ])
+    train_3dmm.main(args)
+    assert glob.glob(os.path.join(exp, "v1", "checkpoint", "*"))
+
+
+def test_train_audio_cli_and_reenact(tiny_cfg_patch, tmp_path_factory,
+                                     tmp_path):
+    from hfa_gp_tpu.cli import run_recon_video_audio, train_audio
+
+    root = tmp_path_factory.mktemp("ad")
+    make_avatar_dataset(str(root / "ad_dataset"), person="obama",
+                        audio=True)
+    exp = str(tmp_path / "expsa") + "/"
+    args = train_audio.build_argparser().parse_args([
+        "--iter", "2", "--size", "64", "--batch_size", "2",
+        "--dataset", "ad_dataset", "--dataset_root", str(root),
+        "--person", "obama", "--latent_dim_shape", "4",
+        "--exp_path", exp, "--display_freq", "100", "--save_freq", "2",
+        "--tune_iter", "1000", "--nosmo_iters", "1",
+    ])
+    train_audio.main(args)
+    ckpts = glob.glob(os.path.join(exp, "v1", "checkpoint", "*"))
+    assert ckpts
+
+    demo = str(tmp_path / "demoa")
+    rargs = run_recon_video_audio.build_argparser().parse_args([
+        "--size", "64", "--dataset", "ad_dataset",
+        "--dataset_root", str(root), "--person", "obama",
+        "--latent_dim_shape", "4", "--model_path", sorted(ckpts)[-1],
+        "--demo_dir", demo, "--demo_name", "t", "--render_batch", "2",
+        "--fps", "4", "--smooth",
+    ])
+    run_recon_video_audio.main(rargs)
+    assert len(glob.glob(os.path.join(demo, "t", "*.png"))) == 4
