@@ -1,0 +1,93 @@
+"""Distributed arcface trainer + synthetic speed benchmark.
+
+Parity with the reference's `arcface_torch/train.py` on the synthetic
+config (configs/3millions.py + docs/speed_benchmark.md): random 112²
+images, N identities, hybrid DP×MP over the (data, model) mesh, reports
+samples/sec (the reference's headline arcface metric: 2271 samples/sec MP
+/ 5300 PFC-0.1 on 8×V100).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import mesh as mesh_mod
+from ..parallel.partial_fc import PartialFC
+from ..train import arcface as arc
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--network", type=str, default="iresnet50")
+    p.add_argument("--num_classes", type=int, default=3_000_000)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--sample_rate", type=float, default=1.0)
+    p.add_argument("--num_steps", type=int, default=20)
+    p.add_argument("--warmup_steps", type=int, default=2)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--margin", type=str, default="arcface",
+                   choices=["arcface", "cosface"])
+    p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--fp32", action="store_true", default=False)
+    return p
+
+
+def main(args) -> None:
+    mesh = mesh_mod.make_mesh_for_batch(args.batch_size,
+                                        n_model=args.n_model)
+    n_model = mesh.shape[mesh_mod.MODEL_AXIS]
+    num_classes = args.num_classes
+    if num_classes % n_model:
+        num_classes += n_model - num_classes % n_model
+    m2, m3 = (0.5, 0.0) if args.margin == "arcface" else (0.0, 0.4)
+    pfc = PartialFC(mesh, num_classes, 512, m2=m2, m3=m3,
+                    sample_rate=args.sample_rate)
+    tx, fc_tx = arc.make_optimizers(args.num_steps, lr=args.lr,
+                                    warmup_steps=args.warmup_steps)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    step = arc.make_train_step(pfc, tx, fc_tx, args.network, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    with jax.sharding.set_mesh(mesh):
+        state = arc.init_state(jax.random.PRNGKey(0), pfc, tx, fc_tx,
+                               args.network)
+        state = state._replace(
+            backbone=mesh_mod.replicate(mesh, state.backbone),
+            batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
+            opt_state=mesh_mod.replicate(mesh, state.opt_state))
+
+        def synth_batch():
+            # SyntheticDataset equivalent (arcface_torch/dataset.py:32-34)
+            imgs = rng.standard_normal(
+                (args.batch_size, 112, 112, 3)).astype(np.float32)
+            labs = rng.integers(0, num_classes,
+                                args.batch_size).astype(np.int32)
+            return mesh_mod.shard_batch(mesh, (imgs, labs))
+
+        # warmup / compile
+        imgs, labs = synth_batch()
+        state, metrics = step(state, imgs, labs, jax.random.PRNGKey(1))
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for i in range(args.num_steps):
+            imgs, labs = synth_batch()
+            state, metrics = step(state, imgs, labs,
+                                  jax.random.PRNGKey(i))
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    sps = args.num_steps * args.batch_size / dt
+    print(f"samples/sec: {sps:.1f}  (loss {float(metrics['loss']):.4f}, "
+          f"mesh {mesh.shape}, classes {num_classes}, "
+          f"sample_rate {args.sample_rate})")
+    return sps
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

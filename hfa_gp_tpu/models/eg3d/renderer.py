@@ -99,7 +99,11 @@ def grid_sample_2d(image: jax.Array, grid: jax.Array) -> jax.Array:
     def gather(yi, xi):
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        # ROW gather (whole C-vector per index) — vmapped integer
+        # indexing lowers to an XLA gather with slice_sizes (1, C); a
+        # take_along_axis here would broadcast the index over C and
+        # degrade to per-element gathers (~50x slower on TPU).
+        vals = jax.vmap(lambda f, i: f[i])(flat, idx)
         return vals * valid[..., None].astype(image.dtype)
 
     v00 = gather(y0i, x0i)
@@ -123,6 +127,78 @@ def sample_from_planes(planes: jax.Array, coordinates: jax.Array,
     flat_uv = uv.reshape(b * n_planes, -1, 2)
     feats = grid_sample_2d(flat_planes, flat_uv)
     return feats.reshape(b, n_planes, -1, c)
+
+
+# -- packed fast path -------------------------------------------------------
+#
+# TPU gathers are issue-bound: 4 separate 32-channel corner gathers run
+# ~7x slower than ONE 128-channel row gather. `pack_planes` concatenates
+# the (x+1), (y+1), (x+1,y+1) shifted copies into the channel dim so each
+# bilinear sample needs a single row gather; border clamping is undone by
+# a slot-shift select (weights already mask out-of-bounds corners).
+
+
+def pack_planes(planes: jax.Array) -> jax.Array:
+    """(B, 3, H, W, C) → (B*3, H*W, 4C) corner-packed flat planes."""
+    b, n_planes, h, w, c = planes.shape
+    p = planes.reshape(b * n_planes, h, w, c)
+    px = jnp.roll(p, -1, axis=2)
+    py = jnp.roll(p, -1, axis=1)
+    pxy = jnp.roll(px, -1, axis=1)
+    packed = jnp.concatenate([p, px, py, pxy], axis=-1)
+    return packed.reshape(b * n_planes, h * w, 4 * c)
+
+
+def grid_sample_packed(packed_flat: jax.Array, grid: jax.Array,
+                       h: int, w: int) -> jax.Array:
+    """packed_flat: (N, H*W, 4C) from pack_planes; grid: (N, M, 2) in
+    [-1,1]. Returns (N, M, C). Numerically identical to grid_sample_2d."""
+    c4 = packed_flat.shape[-1]
+    c = c4 // 4
+    dtype = packed_flat.dtype
+    x = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5
+    y = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dtype)[..., None]
+    wy = (y - y0).astype(dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    x0c = jnp.clip(x0i, 0, w - 1)
+    rows = jax.vmap(lambda f, i: f[i])(packed_flat, y0c * w + x0c)
+    sy = y0i - y0c
+    sx = x0i - x0c
+    r = [rows[..., k * c:(k + 1) * c] for k in range(4)]
+
+    def corner(dy, dx):
+        yi = y0i + dy
+        xi = x0i + dx
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0)
+                 & (yi < h)).astype(dtype)[..., None]
+        ty = jnp.clip(dy + sy, 0, 1)[..., None]
+        tx = jnp.clip(dx + sx, 0, 1)[..., None]
+        v = jnp.where(ty == 1, jnp.where(tx == 1, r[3], r[2]),
+                      jnp.where(tx == 1, r[1], r[0]))
+        return v * valid
+
+    v00 = corner(0, 0)
+    v01 = corner(0, 1)
+    v10 = corner(1, 0)
+    v11 = corner(1, 1)
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def sample_from_packed(packed_flat: jax.Array, coordinates: jax.Array,
+                       box_warp: float, b: int, h: int, w: int
+                       ) -> jax.Array:
+    """Packed-plane version of sample_from_planes → (B, 3, M, C)."""
+    coords = (2.0 / box_warp) * coordinates
+    uv = project_onto_planes(coords)                    # (B, 3, M, 2)
+    flat_uv = uv.reshape(packed_flat.shape[0], -1, 2)
+    feats = grid_sample_packed(packed_flat, flat_uv, h, w)
+    return feats.reshape(b, 3, -1, feats.shape[-1])
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +296,15 @@ def sample_pdf(bins: jax.Array, weights: jax.Array, n_importance: int,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_w)
 
-    def take(src, idx):
-        return jnp.take_along_axis(src, idx, axis=1)
-
-    cdf_lo, cdf_hi = take(cdf, below), take(cdf, above)
-    bin_lo, bin_hi = take(bins, below), take(bins, above)
+    # stack (cdf, bins) so each index gathers one 2-vector ROW — avoids
+    # take_along_axis's per-element gather lowering on TPU
+    bins_pad = bins[:, :n_w + 1]
+    stacked = jnp.stack([cdf, bins_pad], axis=-1)     # (N, n_w+1, 2)
+    row = jax.vmap(lambda s, i: s[i])
+    lo = row(stacked, below)                          # (N, n_imp, 2)
+    hi = row(stacked, above)
+    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
     return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)
@@ -286,17 +366,27 @@ def ray_march(colors: jax.Array, densities: jax.Array, depths: jax.Array,
 
 
 def unify_samples(d1, c1, s1, d2, c2, s2):
-    """Depth-sort-merge of coarse+fine samples along the sample axis."""
+    """Depth-sort-merge of coarse+fine samples along the sample axis.
+
+    TPU formulation: ONE key-value sort over the concatenated feature
+    row [depth, colors, sigma] via lax.sort_key_val on the flattened
+    per-ray axis — no take_along_axis (whose broadcast index would turn
+    into per-element gathers)."""
     depths = jnp.concatenate([d1, d2], axis=-2)
     colors = jnp.concatenate([c1, c2], axis=-2)
     sigmas = jnp.concatenate([s1, s2], axis=-2)
-    idx = jnp.argsort(depths, axis=-2)
-    depths = jnp.take_along_axis(depths, idx, axis=-2)
-    colors = jnp.take_along_axis(colors,
-                                 jnp.broadcast_to(idx, colors.shape),
-                                 axis=-2)
-    sigmas = jnp.take_along_axis(sigmas, idx, axis=-2)
-    return depths, colors, sigmas
+    b, r, n, _ = depths.shape
+    feats = jnp.concatenate([depths, colors, sigmas], axis=-1)  # (B,R,N,F)
+    f = feats.shape[-1]
+    keys = jnp.broadcast_to(depths, (b, r, n, f))
+    keys2 = jnp.swapaxes(keys, -1, -2).reshape(b * r * f, n)
+    vals2 = jnp.swapaxes(feats, -1, -2).reshape(b * r * f, n)
+    _, sorted_vals = jax.lax.sort_key_val(keys2, vals2, dimension=-1)
+    feats_sorted = jnp.swapaxes(
+        sorted_vals.reshape(b, r, f, n), -1, -2)
+    c = colors.shape[-1]
+    return (feats_sorted[..., :1], feats_sorted[..., 1:1 + c],
+            feats_sorted[..., 1 + c:])
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +397,13 @@ def unify_samples(d1, c1, s1, d2, c2, s2):
 def run_model(decoder_params: Params, cfg: RenderConfig, planes: jax.Array,
               coordinates: jax.Array) -> tuple[jax.Array, jax.Array]:
     feats = sample_from_planes(planes, coordinates, cfg.box_warp)
+    return decoder_apply(decoder_params, cfg, feats)
+
+
+def run_model_packed(decoder_params: Params, cfg: RenderConfig,
+                     packed: jax.Array, coordinates: jax.Array,
+                     b: int, h: int, w: int):
+    feats = sample_from_packed(packed, coordinates, cfg.box_warp, b, h, w)
     return decoder_apply(decoder_params, cfg, feats)
 
 
@@ -333,12 +430,15 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
                                       rng=rngs[0])
     n_coarse = cfg.depth_resolution
 
+    _, _, ph, pw, _ = planes.shape
+    packed = pack_planes(planes)        # once; reused by both passes
+
     def eval_points(depths):
         n = depths.shape[2]
         pts = ray_origins[:, :, None, :] \
             + depths * ray_directions[:, :, None, :]
-        rgb, sigma = run_model(decoder_params, cfg, planes,
-                               pts.reshape(b, -1, 3))
+        rgb, sigma = run_model_packed(decoder_params, cfg, packed,
+                                      pts.reshape(b, -1, 3), b, ph, pw)
         rgb = rgb.reshape(b, r, n, -1)
         sigma = sigma.reshape(b, r, n, 1)
         return rgb, sigma

@@ -1,0 +1,57 @@
+import sys; sys.path.insert(0, "/root/repo")
+import time, jax, jax.numpy as jnp
+import numpy as np
+from hfa_gp_tpu.core import camera
+from hfa_gp_tpu.models.eg3d import networks as nets, renderer as rnd
+from hfa_gp_tpu.models.eg3d.generator import EG3DConfig, init_generator, synthesis
+
+cfg = EG3DConfig(compute_dtype=jnp.bfloat16)
+params = init_generator(jax.random.PRNGKey(0), cfg)
+B = 4
+ws = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.num_ws, 512))
+label = jnp.tile(camera.flip_yz_label(camera.sample_camera_label(None, n=1, mode=None)), (B,1))
+
+def timeit(name, fn, *args, iters=5):
+    # fn must return a SCALAR; float() forces execution + tiny transfer
+    t0=time.perf_counter()
+    v = float(fn(*args))
+    print(f"{name} compile+1: {time.perf_counter()-t0:.1f} s (val={v:.3f})", flush=True)
+    t0=time.perf_counter()
+    for _ in range(iters):
+        v = float(fn(*args))
+    dt=(time.perf_counter()-t0)/iters
+    print(f"{name}: {dt*1000:.1f} ms", flush=True)
+
+bb = jax.jit(lambda p, ws: jnp.sum(jnp.abs(nets.backbone_apply(p["backbone"], cfg.backbone, ws, compute_dtype=cfg.compute_dtype).astype(jnp.float32))))
+timeit("backbone", bb, params, ws)
+
+planes_img = jax.jit(lambda p, ws: nets.backbone_apply(p["backbone"], cfg.backbone, ws, compute_dtype=cfg.compute_dtype))(params, ws)
+planes = jnp.transpose(planes_img.reshape(B, 256,256,3,32), (0,3,1,2,4))
+c2w, intr = camera.unpack_label(label)
+ro, rd = camera.generate_rays(c2w, intr, 128)
+
+rr = jax.jit(lambda p, planes, ro, rd: jnp.sum(jnp.abs(rnd.render_rays(p["decoder"], cfg.render, planes, ro, rd)[0])))
+timeit("render_rays", rr, params, planes, ro, rd)
+
+feat_img = jax.random.normal(jax.random.PRNGKey(7), (B,128,128,32))
+rgb = feat_img[..., :3]
+sr = jax.jit(lambda p, rgb, x, ws: jnp.sum(jnp.abs(nets.superresolution_apply(p["superresolution"], cfg.sr, rgb, x, ws, compute_dtype=cfg.compute_dtype))))
+timeit("superres", sr, params, rgb, feat_img, ws)
+
+full = jax.jit(lambda p, ws, c: jnp.sum(jnp.abs(synthesis(p, cfg, ws, c)["image"])))
+timeit("full synthesis", full, params, ws, label)
+
+coords = jax.random.uniform(jax.random.PRNGKey(2), (B, 128*128*48, 3), minval=-0.5, maxval=0.5)
+gs = jax.jit(lambda planes, coords: jnp.sum(jnp.abs(rnd.sample_from_planes(planes, coords, 1.0))))
+timeit("triplane sample 48smp", gs, planes, coords)
+f = jax.random.normal(jax.random.PRNGKey(3), (B, 3, 128*128*48, 32))
+dec = jax.jit(lambda p, f: jnp.sum(jnp.abs(rnd.decoder_apply(p["decoder"], cfg.render, f)[0])))
+timeit("decoder MLP 48smp", dec, params, f)
+
+# the actual bench path end-to-end
+from hfa_gp_tpu.models.avatar import heads
+acfg = heads.AvatarConfig(eg3d=cfg)
+ap = heads.init_avatar_rgb(jax.random.PRNGKey(4), acfg)
+img = jax.random.uniform(jax.random.PRNGKey(5), (B, 256, 256, 3), minval=-1, maxval=1)
+re = jax.jit(lambda p, i, c: jnp.sum(jnp.abs(heads.get_image(p, acfg, heads.get_latent(p, heads.rgb_get_weights(p, acfg, i), acfg), c))))
+timeit("full reenact", re, ap, img, label)
