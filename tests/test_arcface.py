@@ -1,0 +1,83 @@
+"""arcface family tests: backbones, scheduler, verification eval, and the
+hybrid DP×MP train step on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hfa_gp_tpu.models.arcface import (init_iresnet, init_mobilefacenet,
+                                       iresnet_apply, mobilefacenet_apply)
+from hfa_gp_tpu.models.arcface.scheduler import poly_scheduler
+from hfa_gp_tpu.models.arcface.verification import kfold_verification
+from hfa_gp_tpu.parallel import mesh as mesh_mod
+from hfa_gp_tpu.parallel.partial_fc import PartialFC
+from hfa_gp_tpu.train import arcface as arc
+
+
+def test_iresnet18_shapes_and_modes():
+    p, st = init_iresnet(jax.random.PRNGKey(0), "iresnet18")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 112, 112, 3))
+    emb = iresnet_apply(p, st, x, "iresnet18")
+    assert emb.shape == (2, 512)
+    emb2, new_st = iresnet_apply(p, st, x, "iresnet18", train=True)
+    assert emb2.shape == (2, 512)
+    # running stats moved toward batch stats
+    s0 = st["stem_bn"]["mean"]
+    s1 = new_st["stem_bn"]["mean"]
+    assert float(jnp.abs(s1 - s0).max()) > 0
+
+
+def test_mobilefacenet_shapes():
+    p, st = init_mobilefacenet(jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 112, 112, 3))
+    emb = mobilefacenet_apply(p, st, x)
+    assert emb.shape == (2, 512)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_poly_scheduler():
+    s = poly_scheduler(0.1, total_steps=100, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 0.05, rtol=1e-5)
+    np.testing.assert_allclose(float(s(10)), 0.1, rtol=1e-5)
+    assert float(s(55)) == pytest.approx(0.1 * 0.25, rel=1e-4)
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_kfold_verification_separates():
+    rng = np.random.default_rng(0)
+    n, d = 200, 32
+    base = rng.standard_normal((n, d))
+    same = base + 0.05 * rng.standard_normal((n, d))
+    diff = rng.standard_normal((n, d))
+    emb1 = np.concatenate([base, base])
+    emb2 = np.concatenate([same, diff])
+    issame = np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
+    acc, std, thr = kfold_verification(emb1, emb2, issame)
+    assert acc > 0.95
+
+
+def test_arcface_train_step_hybrid_mesh():
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    pfc = PartialFC(mesh, num_classes=64, embedding_dim=512)
+    tx, fc_tx = arc.make_optimizers(total_steps=10, lr=0.01)
+    step = arc.make_train_step(pfc, tx, fc_tx, "iresnet18",
+                               dtype=jnp.float32, donate=False)
+    rng = np.random.default_rng(1)
+    with jax.sharding.set_mesh(mesh):
+        state = arc.init_state(jax.random.PRNGKey(0), pfc, tx, fc_tx,
+                               "iresnet18")
+        state = state._replace(
+            backbone=mesh_mod.replicate(mesh, state.backbone),
+            batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
+            opt_state=mesh_mod.replicate(mesh, state.opt_state))
+        imgs = rng.standard_normal((8, 112, 112, 3)).astype(np.float32)
+        labs = rng.integers(0, 64, 8).astype(np.int32)
+        imgs_s, labs_s = mesh_mod.shard_batch(mesh, (imgs, labs))
+        losses = []
+        for i in range(3):
+            state, m = step(state, imgs_s, labs_s, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

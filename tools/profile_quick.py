@@ -24,12 +24,5 @@ planes = jnp.transpose(planes_img.reshape(B, 256,256,3,32), (0,3,1,2,4))
 c2w, intr = camera.unpack_label(label)
 ro, rd = camera.generate_rays(c2w, intr, 128)
 
-coords = jax.random.uniform(jax.random.PRNGKey(2), (B, 128*128*48, 3), minval=-0.5, maxval=0.5)
-gs = jax.jit(lambda planes, coords: jnp.sum(jnp.abs(rnd.sample_from_planes(planes, coords, 1.0))))
-timeit("triplane sample 48smp", gs, planes, coords)
-
-rr = jax.jit(lambda p, planes, ro, rd: jnp.sum(jnp.abs(rnd.render_rays(p["decoder"], cfg.render, planes, ro, rd)[0])))
-timeit("render_rays", rr, params, planes, ro, rd)
-
 full = jax.jit(lambda p, ws, c: jnp.sum(jnp.abs(synthesis(p, cfg, ws, c)["image"])))
 timeit("full synthesis", full, params, ws, label)
