@@ -148,3 +148,37 @@ def encoder_apply(p: Params, x: jax.Array, *, use_softmax: bool = False):
     if "pose" in p:
         return w, linear_stack_apply(p["pose"], h)
     return w
+
+
+# -- Encoder_whole / pose2latent (encoder3d.py:325-442) ----------------------
+
+
+def init_encoder_whole(key, size: int, dim: int = 512,
+                       dim_shape: int = 50,
+                       out_pose: bool = False) -> Params:
+    """Encoder variant that also returns the 512-d appearance code
+    (encoder3d.py:325-408)."""
+    return init_encoder(key, size, dim, dim_shape, out_pose)
+
+
+def encoder_whole_apply(p: Params, x: jax.Array, *,
+                        use_softmax: bool = False):
+    """→ (weights, appearance_code[, pose])."""
+    h = encoder_app_apply(p["net_app"], x)
+    w = linear_stack_apply(p["fc"], h)
+    if use_softmax:
+        w = jax.nn.softmax(w, axis=1)
+    if "pose" in p:
+        return w, h, linear_stack_apply(p["pose"], h)
+    return w, h
+
+
+def init_pose2latent(key, latent_warp: int = 32, len_pose: int = 25,
+                     dim: int = 512) -> Params:
+    """pose → warp-latent MLP (encoder3d.py:412-426): 5 EqualLinear
+    layers 25→512→512→512→512→latent_warp."""
+    return init_linear_stack(key, [len_pose] + [dim] * 4 + [latent_warp])
+
+
+def pose2latent_apply(p: Params, pose: jax.Array) -> jax.Array:
+    return linear_stack_apply(p, pose)

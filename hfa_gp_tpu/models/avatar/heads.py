@@ -48,6 +48,8 @@ class AvatarConfig:
     dim_aud: int = 64
     win_size: int = 16
     smo_size: int = 8
+    person_2: bool = False          # second-person subspace (headnerf:60-69)
+    same_bases: bool = False        # person 2 shares bases, own delta
     eg3d: EG3DConfig = field(default_factory=EG3DConfig)
 
 
@@ -55,16 +57,29 @@ class AvatarConfig:
 
 
 def init_avatar_rgb(key: jax.Array, cfg: AvatarConfig,
-                    generator_params: Params | None = None) -> Params:
-    k_enc, k_sub, k_gen = jax.random.split(key, 3)
-    return {
+                    generator_params: Params | None = None,
+                    init_bases: jax.Array | None = None,
+                    init_bases_2: jax.Array | None = None) -> Params:
+    """`person_2`/`same_bases` in cfg add a second subspace
+    (headnerf.py:60-69): its bases come from `init_bases_2` (PTI pivots
+    via subspace.load_pti_bases when args.init) or random."""
+    k_enc, k_sub, k_sub2, k_gen = jax.random.split(key, 4)
+    p = {
         "encoder": enc.init_encoder(k_enc, cfg.size, cfg.dim, cfg.dim_shape,
                                     cfg.out_pose),
         "subspace": sub.init_subspace(k_sub, cfg.dim_shape,
-                                      cfg.eg3d.num_ws, cfg.dim),
+                                      cfg.eg3d.num_ws, cfg.dim,
+                                      init_bases),
         "generator": generator_params if generator_params is not None
         else eg3d_gen.init_generator(k_gen, cfg.eg3d),
     }
+    if cfg.person_2:
+        sub2 = sub.init_subspace(k_sub2, cfg.dim_shape, cfg.eg3d.num_ws,
+                                 cfg.dim, init_bases_2)
+        if cfg.same_bases:
+            del sub2["bases"]       # person 2 shares person 1's bases
+        p["subspace_2"] = sub2
+    return p
 
 
 def _init_weights_mlp(key, in_dim: int, cfg: AvatarConfig) -> Params:
@@ -104,7 +119,14 @@ def init_avatar_audio(key: jax.Array, cfg: AvatarConfig,
 
 
 def get_latent(params: Params, weights: jax.Array,
-               cfg: AvatarConfig) -> jax.Array:
+               cfg: AvatarConfig, person_2: bool = False) -> jax.Array:
+    """person_2 selects the second subspace (bases_2 unless same_bases,
+    always delta_2) — headnerf.py:81-102."""
+    if person_2:
+        sp2 = dict(params["subspace_2"])
+        if "bases" not in sp2:      # same_bases: share person 1's bases
+            sp2["bases"] = params["subspace"]["bases"]
+        return sub.get_latent(sp2, weights, cfg.dim)
     return sub.get_latent(params["subspace"], weights, cfg.dim)
 
 
@@ -134,18 +156,19 @@ def get_image(params: Params, cfg: AvatarConfig, latent: jax.Array,
 
 
 def rgb_forward(params: Params, cfg: AvatarConfig, image: jax.Array,
-                label: jax.Array, *, label_convention: str = "opencv"):
+                label: jax.Array, *, person_2: bool = False,
+                label_convention: str = "opencv"):
     """HeadNeRF_final.forward (headnerf.py:106-120). image: NHWC [-1,1]."""
     if cfg.out_pose:
         weights, pose = enc.encoder_apply(params["encoder"], image,
                                           use_softmax=cfg.use_softmax)
-        latent = get_latent(params, weights, cfg)
+        latent = get_latent(params, weights, cfg, person_2)
         img = get_image(params, cfg, latent, label,
                         label_convention=label_convention)
         return img, pose
     weights = enc.encoder_apply(params["encoder"], image,
                                 use_softmax=cfg.use_softmax)
-    latent = get_latent(params, weights, cfg)
+    latent = get_latent(params, weights, cfg, person_2)
     return get_image(params, cfg, latent, label,
                      label_convention=label_convention)
 
