@@ -40,6 +40,14 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tune_iter", type=int, default=50000)
     p.add_argument("--out_pose", action="store_true", default=False)
     p.add_argument("--use_softmax", action="store_true", default=False)
+    # second-person subspace (reference train_rgb.py:167-178)
+    p.add_argument("--person_2", type=str, default=None)
+    p.add_argument("--run_id", type=str, default="nerface2")
+    p.add_argument("--run_id_2", type=str, default=None)
+    p.add_argument("--emb_dir", type=str, default="./PTI/embeddings/")
+    p.add_argument("--init", action="store_true", default=False,
+                   help="init person-2 bases from PTI pivots in emb_dir")
+    p.add_argument("--same_bases", action="store_true", default=False)
     # accepted for command-line parity; the mesh replaces process groups
     p.add_argument("--addr", type=str, default="localhost")
     p.add_argument("--port", type=str, default="12345")
@@ -67,10 +75,23 @@ def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
     kw = dict(size=args.size, dim=args.latent_dim_style,
               dim_shape=args.latent_dim_shape,
               use_softmax=args.use_softmax,
-              out_pose=getattr(args, "out_pose", False), eg3d=eg3d)
+              out_pose=getattr(args, "out_pose", False),
+              person_2=getattr(args, "person_2", None) is not None,
+              same_bases=getattr(args, "same_bases", False), eg3d=eg3d)
     if params_len is not None:
         kw["params_len"] = params_len
     return AvatarConfig(**kw)
+
+
+def load_init_bases_2(args, cfg):
+    """PTI pivot init for person 2 (reference headnerf.py:60-69)."""
+    if not (getattr(args, "init", False) and args.run_id_2):
+        return None
+    import os
+
+    from ..models.avatar.subspace import load_pti_bases
+    emb = os.path.join(args.emb_dir, args.run_id_2, "PTI")
+    return load_pti_bases(emb, cfg.dim_shape, cfg.eg3d.num_ws, cfg.dim)
 
 
 def load_generator_weights(args):
@@ -94,6 +115,16 @@ def make_dirs(args) -> dict[str, str]:
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     return dirs
+
+
+def save_args(args, dirs: dict[str, str]) -> None:
+    """Persist the run config (the reference stores `args` inside every
+    checkpoint, trainer_rgb.py:148; a json beside the logs is kinder)."""
+    import json
+    with open(os.path.join(dirs["log"], "args.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, type(None)))},
+                  f, indent=2)
 
 
 def write_video(png_dir: str, out_path: str, fps: int = 24,

@@ -26,6 +26,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(args) -> None:
     dirs = common.make_dirs(args)
+    common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
     cfg = common.avatar_config(args, params_len=args.params_len)
     root = f"{args.dataset_root}/{args.dataset}"

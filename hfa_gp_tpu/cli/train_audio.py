@@ -33,6 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(args) -> None:
     dirs = common.make_dirs(args)
+    common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
     base_cfg = common.avatar_config(args)
     import dataclasses

@@ -30,6 +30,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(args) -> None:
     dirs = common.make_dirs(args)
+    common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
     cfg = common.avatar_config(args)
     root = f"{args.dataset_root}/{args.dataset}"
@@ -46,7 +47,9 @@ def main(args) -> None:
     print("==> initializing trainer")
     mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     gen_params = common.load_generator_weights(args)
-    params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg, gen_params)
+    params = heads.init_avatar_rgb(
+        jax.random.PRNGKey(0), cfg, gen_params,
+        init_bases_2=common.load_init_bases_2(args, cfg))
     lpips_params = common.load_lpips(args)
     tx = make_optimizer(args.lr)
     step_fn = rgb_train.make_train_step(cfg, tx, args.tune_iter)
