@@ -26,11 +26,15 @@ def main() -> None:
     dev = jax.devices()[0]
     on_accel = dev.platform != "cpu"
 
-    # bf16 compute in the conv trunks (MXU-native), fp32 renderer.
+    # bf16 compute in the conv trunks + decoder MLP (MXU-native);
+    # fp32 tri-plane gathers and compositing.
+    from hfa_gp_tpu.models.eg3d.renderer import RenderConfig
+    dt = jnp.bfloat16 if on_accel else jnp.float32
     cfg = heads.AvatarConfig(
-        eg3d=EG3DConfig(compute_dtype=jnp.bfloat16 if on_accel
-                        else jnp.float32))
-    batch = 4 if on_accel else 1
+        eg3d=EG3DConfig(compute_dtype=dt,
+                        render=RenderConfig(decoder_dtype=dt)))
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", 4 if on_accel else 1))
 
     params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
     image = jax.random.uniform(jax.random.PRNGKey(1),
@@ -43,17 +47,22 @@ def main() -> None:
     def reenact(params, image, label):
         weights = heads.rgb_get_weights(params, cfg, image)
         latent = heads.get_latent(params, weights, cfg)
-        return heads.get_image(params, cfg, latent, label)
+        img = heads.get_image(params, cfg, latent, label)
+        # scalar checksum: forces full execution under timing — the axon
+        # tunnel's block_until_ready doesn't reliably block, so each
+        # timed step fetches this scalar (CLAUDE.md)
+        return img, jnp.sum(jnp.abs(img))
 
     # warmup / compile
-    out = reenact(params, image, label)
-    out.block_until_ready()
+    out, chk = reenact(params, image, label)
+    assert np.isfinite(float(chk))
+    assert out.shape == (batch, 512, 512, 3)
 
     iters = 10 if on_accel else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = reenact(params, image, label)
-    out.block_until_ready()
+        _, chk = reenact(params, image, label)
+        float(chk)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

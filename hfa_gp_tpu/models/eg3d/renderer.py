@@ -53,6 +53,13 @@ class RenderConfig:
     # §2.5). None = no constraint. Requires an active mesh
     # (jax.sharding.use_mesh) when set.
     ray_shard_axis: str | None = None
+    # Fused Pallas compositing kernel (core/pallas/raymarch.py).
+    # Inference-only: pallas_call has no VJP here — training keeps the
+    # XLA formulation.
+    use_pallas_marcher: bool = False
+    # MLP compute dtype for the OSG decoder (bf16 halves the biggest
+    # matmuls; sigma/rgb emitted fp32).
+    decoder_dtype: Any = jnp.float32
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +235,13 @@ def decoder_apply(params: Params, cfg: RenderConfig,
     softplus; color squashed to (-0.001, 1.001) via the EG3D sigmoid
     trick."""
     x = sampled_features.mean(axis=1)                   # (B, M, C)
+    x = x.astype(cfg.decoder_dtype)
     x = ops.fully_connected(x, **params["fc0"],
                             lr_multiplier=cfg.decoder_lr_mul)
     x = jax.nn.softplus(x)
     x = ops.fully_connected(x, **params["fc1"],
                             lr_multiplier=cfg.decoder_lr_mul)
+    x = x.astype(jnp.float32)
     sigma = x[..., 0:1]
     rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
     return rgb, sigma
@@ -443,20 +452,26 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
         sigma = sigma.reshape(b, r, n, 1)
         return rgb, sigma
 
+    if cfg.use_pallas_marcher and not cfg.white_back:
+        from ...core.pallas.raymarch import pallas_ray_march
+        marcher = lambda c_, d_, z_: pallas_ray_march(c_, d_, z_)
+    else:
+        marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
+
     colors_c, densities_c = eval_points(depths_coarse)
 
     n_fine = cfg.depth_resolution_importance
     if n_fine > 0:
-        _, _, weights = ray_march(colors_c, densities_c, depths_coarse, cfg)
+        _, _, weights = marcher(colors_c, densities_c, depths_coarse)
         depths_fine = sample_importance(depths_coarse, weights, n_fine,
                                         rng=rngs[1])
         colors_f, densities_f = eval_points(depths_fine)
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
             depths_fine, colors_f, densities_f)
-        rgb_final, depth_final, weights = ray_march(colors, densities,
-                                                    depths, cfg)
+        rgb_final, depth_final, weights = marcher(colors, densities,
+                                                  depths)
     else:
-        rgb_final, depth_final, weights = ray_march(colors_c, densities_c,
-                                                    depths_coarse, cfg)
+        rgb_final, depth_final, weights = marcher(colors_c, densities_c,
+                                                  depths_coarse)
     return rgb_final, depth_final, jnp.sum(weights, axis=2)
