@@ -61,6 +61,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute in conv trunks")
     p.add_argument("--n_model", type=int, default=1,
                    help="mesh model-axis size (ray sharding)")
+    p.add_argument("--pallas_marcher", action="store_true", default=False,
+                   help="fused Pallas compositing kernel (inference)")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace into this dir")
 
 
 def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
@@ -68,7 +72,9 @@ def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
     from ..models.eg3d import renderer as rnd
     from ..parallel import mesh as mesh_mod
     render = rnd.RenderConfig(
-        ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None)
+        ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None,
+        use_pallas_marcher=getattr(args, "pallas_marcher", False),
+        decoder_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     eg3d = EG3DConfig(
         render=render,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)

@@ -79,7 +79,12 @@ def main(args) -> None:
         latent = heads.get_latent(params, weights, cfg)
         return heads.get_image(params, cfg, latent, label)
 
-    with jax.sharding.set_mesh(mesh):
+    import contextlib
+
+    from ..utils.observability import trace as profiler_trace
+    tracer = profiler_trace(args.trace_dir) if args.trace_dir \
+        else contextlib.nullcontext()
+    with jax.sharding.set_mesh(mesh), tracer:
         params = mesh_mod.replicate(mesh, params)
         n = len(dataset)
         frame_idx = 0

@@ -374,25 +374,53 @@ def ray_march(colors: jax.Array, densities: jax.Array, depths: jax.Array,
     return composite_rgb, composite_depth, weights
 
 
-def unify_samples(d1, c1, s1, d2, c2, s2):
-    """Depth-sort-merge of coarse+fine samples along the sample axis.
+def _sort_rows_by_key(keys: jax.Array, feats: jax.Array) -> jax.Array:
+    """Sort (B,R,N,F) feature rows by per-row (B,R,N) keys via ONE
+    lax.sort_key_val on the lane-flattened layout — no take_along_axis
+    (whose broadcast index lowers to per-element gathers on TPU)."""
+    b, r, n, f = feats.shape
+    keys_b = jnp.broadcast_to(keys[..., None], (b, r, n, f))
+    keys2 = jnp.swapaxes(keys_b, -1, -2).reshape(b * r * f, n)
+    vals2 = jnp.swapaxes(feats, -1, -2).reshape(b * r * f, n)
+    _, sorted_vals = jax.lax.sort_key_val(keys2, vals2, dimension=-1)
+    return jnp.swapaxes(sorted_vals.reshape(b, r, f, n), -1, -2)
 
-    TPU formulation: ONE key-value sort over the concatenated feature
-    row [depth, colors, sigma] via lax.sort_key_val on the flattened
-    per-ray axis — no take_along_axis (whose broadcast index would turn
-    into per-element gathers)."""
+
+@jax.custom_vjp
+def _permute_rows(feats: jax.Array, depths: jax.Array) -> jax.Array:
+    return _sort_rows_by_key(depths, feats)
+
+
+def _permute_rows_fwd(feats, depths):
+    b, r, n, _ = feats.shape
+    # the permutation itself (for the backward): sort iota by depth
+    iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[None, None, :], (b, r, n))
+    d2 = depths.reshape(b * r, n)
+    _, perm = jax.lax.sort_key_val(d2, iota.reshape(b * r, n),
+                                   dimension=-1)
+    return _sort_rows_by_key(depths, feats), perm.reshape(b, r, n)
+
+
+def _permute_rows_bwd(perm, g):
+    # out[i] = in[perm[i]]  ⇒  d_in[perm[i]] = d_out[i]: sorting the
+    # cotangent rows BY perm restores input order — the scatter becomes
+    # one more key-value sort (the naive transpose would be ~1.5 s of
+    # per-element gathers; this is ~40 ms).
+    return _sort_rows_by_key(perm, g), None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def unify_samples(d1, c1, s1, d2, c2, s2):
+    """Depth-sort-merge of coarse+fine samples along the sample axis."""
     depths = jnp.concatenate([d1, d2], axis=-2)
     colors = jnp.concatenate([c1, c2], axis=-2)
     sigmas = jnp.concatenate([s1, s2], axis=-2)
-    b, r, n, _ = depths.shape
     feats = jnp.concatenate([depths, colors, sigmas], axis=-1)  # (B,R,N,F)
-    f = feats.shape[-1]
-    keys = jnp.broadcast_to(depths, (b, r, n, f))
-    keys2 = jnp.swapaxes(keys, -1, -2).reshape(b * r * f, n)
-    vals2 = jnp.swapaxes(feats, -1, -2).reshape(b * r * f, n)
-    _, sorted_vals = jax.lax.sort_key_val(keys2, vals2, dimension=-1)
-    feats_sorted = jnp.swapaxes(
-        sorted_vals.reshape(b, r, f, n), -1, -2)
+    keys = jax.lax.stop_gradient(depths[..., 0])
+    feats_sorted = _permute_rows(feats, keys)
     c = colors.shape[-1]
     return (feats_sorted[..., :1], feats_sorted[..., 1:1 + c],
             feats_sorted[..., 1 + c:])
