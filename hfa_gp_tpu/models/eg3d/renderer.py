@@ -60,6 +60,13 @@ class RenderConfig:
     # MLP compute dtype for the OSG decoder (bf16 halves the biggest
     # matmuls; sigma/rgb emitted fp32).
     decoder_dtype: Any = jnp.float32
+    # Process rays in lax.map chunks of this many rays (must divide R);
+    # bounds intermediate memory for large batches. None = whole image.
+    ray_chunk: int | None = None
+    # jax.checkpoint the per-pass point evaluation: recompute the
+    # tri-plane gathers in the backward instead of storing the (B,3,M,C)
+    # residuals — trades ~30% step time for ~2x batch headroom.
+    remat: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -451,9 +458,12 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The ImportanceRenderer: coarse march → importance resample → unified
     march. planes (B,3,H,W,C); rays (B,R,3) → (feature (B,R,32),
-    depth (B,R,1), weight_sum (B,R,1))."""
+    depth (B,R,1), weight_sum (B,R,1)).
+
+    With cfg.ray_chunk set, rays process in lax.map chunks — rays are
+    fully independent through both passes, so chunking bounds the
+    (B, M, ·) intermediates and raises the per-chip batch envelope."""
     b, r, _ = ray_origins.shape
-    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
 
     if cfg.ray_shard_axis is not None:
         from jax.sharding import PartitionSpec as P
@@ -462,13 +472,45 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
         ray_directions = jax.lax.with_sharding_constraint(ray_directions,
                                                           spec)
 
+    _, _, ph, pw, _ = planes.shape
+    packed = pack_planes(planes)        # once; reused by both passes
+
+    chunk = cfg.ray_chunk
+    if chunk and chunk < r and r % chunk == 0:
+        nch = r // chunk
+        ro = jnp.swapaxes(ray_origins.reshape(b, nch, chunk, 3), 0, 1)
+        rd = jnp.swapaxes(ray_directions.reshape(b, nch, chunk, 3), 0, 1)
+        if rng is not None:
+            keys = jax.random.split(rng, nch)
+            xs = (ro, rd, keys)
+        else:
+            xs = (ro, rd, jnp.zeros((nch,), jnp.uint32))
+
+        def one(args):
+            o, d, k = args
+            key = k if rng is not None else None
+            return _render_core(decoder_params, cfg, packed, o, d, key,
+                                ph, pw)
+
+        rgb, depth, wsum = jax.lax.map(one, xs)
+        swap = lambda x: jnp.swapaxes(x, 0, 1).reshape(b, r, -1)
+        return swap(rgb), swap(depth), swap(wsum)
+
+    return _render_core(decoder_params, cfg, packed, ray_origins,
+                        ray_directions, rng, ph, pw)
+
+
+def _render_core(decoder_params: Params, cfg: RenderConfig,
+                 packed: jax.Array, ray_origins: jax.Array,
+                 ray_directions: jax.Array, rng: jax.Array | None,
+                 ph: int, pw: int):
+    b, r, _ = ray_origins.shape
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
     depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
                                       cfg.ray_end, cfg.depth_resolution,
                                       rng=rngs[0])
     n_coarse = cfg.depth_resolution
-
-    _, _, ph, pw, _ = planes.shape
-    packed = pack_planes(planes)        # once; reused by both passes
 
     def eval_points(depths):
         n = depths.shape[2]
@@ -479,6 +521,9 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
         rgb = rgb.reshape(b, r, n, -1)
         sigma = sigma.reshape(b, r, n, 1)
         return rgb, sigma
+
+    if cfg.remat:
+        eval_points = jax.checkpoint(eval_points)
 
     if cfg.use_pallas_marcher and not cfg.white_back:
         from ...core.pallas.raymarch import pallas_ray_march

@@ -19,7 +19,11 @@ from hfa_gp_tpu.train import rgb as rgb_train
 from hfa_gp_tpu.train.state import init_state, make_optimizer
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-cfg = heads.AvatarConfig(eg3d=EG3DConfig(compute_dtype=jnp.bfloat16))
+import dataclasses
+from hfa_gp_tpu.models.eg3d.renderer import RenderConfig
+remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
+cfg = heads.AvatarConfig(eg3d=EG3DConfig(
+    compute_dtype=jnp.bfloat16, render=RenderConfig(remat=remat)))
 params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
 lp = lpips_mod.init_lpips(jax.random.PRNGKey(1))
 tx = make_optimizer(3e-4)
