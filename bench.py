@@ -30,11 +30,14 @@ def main() -> None:
     # fp32 tri-plane gathers and compositing.
     from hfa_gp_tpu.models.eg3d.renderer import RenderConfig
     dt = jnp.bfloat16 if on_accel else jnp.float32
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", 8 if on_accel else 1))
+    # chunk rays for batches beyond the per-chip whole-image envelope
+    chunk = 4096 if batch > 4 else None
     cfg = heads.AvatarConfig(
         eg3d=EG3DConfig(compute_dtype=dt,
-                        render=RenderConfig(decoder_dtype=dt)))
-    import os
-    batch = int(os.environ.get("BENCH_BATCH", 4 if on_accel else 1))
+                        render=RenderConfig(decoder_dtype=dt,
+                                            ray_chunk=chunk)))
 
     params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
     image = jax.random.uniform(jax.random.PRNGKey(1),

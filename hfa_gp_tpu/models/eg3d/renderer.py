@@ -492,6 +492,11 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
             return _render_core(decoder_params, cfg, packed, o, d, key,
                                 ph, pw)
 
+        if cfg.remat:
+            # without this, lax.map's backward stores every chunk's
+            # residuals — same peak memory as the unchunked path
+            one = jax.checkpoint(one)
+
         rgb, depth, wsum = jax.lax.map(one, xs)
         swap = lambda x: jnp.swapaxes(x, 0, 1).reshape(b, r, -1)
         return swap(rgb), swap(depth), swap(wsum)

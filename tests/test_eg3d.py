@@ -218,3 +218,18 @@ def test_synthesis_grad_flows(gen):
     g = jax.grad(loss)(ws)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_synthesis_ray_chunk_parity(gen):
+    """Chunked-ray rendering (lax.map) must match the whole-image path."""
+    import dataclasses
+    cfg, params = gen
+    ws = jax.random.normal(jax.random.PRNGKey(9), (1, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+    full = synthesis(params, cfg, ws, label)["image"]
+    cfg_c = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, ray_chunk=64))
+    chunked = synthesis(params, cfg_c, ws, label)["image"]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5)

@@ -21,9 +21,11 @@ from hfa_gp_tpu.train.state import init_state, make_optimizer
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 import dataclasses
 from hfa_gp_tpu.models.eg3d.renderer import RenderConfig
-remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
+remat = "remat" in sys.argv[2:]
+chunk = 4096 if "chunk" in sys.argv[2:] else None
 cfg = heads.AvatarConfig(eg3d=EG3DConfig(
-    compute_dtype=jnp.bfloat16, render=RenderConfig(remat=remat)))
+    compute_dtype=jnp.bfloat16,
+    render=RenderConfig(remat=remat, ray_chunk=chunk)))
 params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
 lp = lpips_mod.init_lpips(jax.random.PRNGKey(1))
 tx = make_optimizer(3e-4)
