@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["arcface", "cosface"])
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--fp32", action="store_true", default=False)
+    p.add_argument("--val_bin", type=str, default=None,
+                   help="LFW-style .bin for in-training verification "
+                        "(CallBackVerification parity)")
+    p.add_argument("--verbose", type=int, default=10,
+                   help="verification frequency in steps")
     return p
 
 
@@ -74,11 +79,25 @@ def main(args) -> None:
         state, metrics = step(state, imgs, labs, jax.random.PRNGKey(1))
         jax.block_until_ready(metrics["loss"])
 
+        val = None
+        if args.val_bin:
+            from .eval_verification import load_bin
+            from ..models.arcface.verification import evaluate_pairs
+            val = load_bin(args.val_bin)
+
         t0 = time.perf_counter()
         for i in range(args.num_steps):
             imgs, labs = synth_batch()
             state, metrics = step(state, imgs, labs,
                                   jax.random.PRNGKey(i))
+            if val is not None and (i + 1) % args.verbose == 0:
+                from ..models.arcface import iresnet as ir
+                embed = jax.jit(lambda x: ir.iresnet_apply(
+                    state.backbone, state.batch_stats, jnp.asarray(x),
+                    args.network))
+                acc, std, _ = evaluate_pairs(embed, *val)
+                print(f"[step {i + 1}] verification acc {acc:.4f} "
+                      f"± {std:.4f}")
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
 
