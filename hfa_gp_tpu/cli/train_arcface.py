@@ -66,12 +66,20 @@ def main(args) -> None:
             batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
             opt_state=mesh_mod.replicate(mesh, state.opt_state))
 
-        def synth_batch():
+        @jax.jit
+        def synth_batch_dev(key):
             # SyntheticDataset equivalent (arcface_torch/dataset.py:32-34)
-            imgs = rng.standard_normal(
-                (args.batch_size, 112, 112, 3)).astype(np.float32)
-            labs = rng.integers(0, num_classes,
-                                args.batch_size).astype(np.int32)
+            # generated ON DEVICE — host batches would measure the data
+            # link, not the trainer
+            k1, k2 = jax.random.split(key)
+            imgs = jax.random.normal(
+                k1, (args.batch_size, 112, 112, 3), jnp.float32)
+            labs = jax.random.randint(k2, (args.batch_size,), 0,
+                                      num_classes, jnp.int32)
+            return imgs, labs
+
+        def synth_batch(i=0):
+            imgs, labs = synth_batch_dev(jax.random.PRNGKey(i))
             return mesh_mod.shard_batch(mesh, (imgs, labs))
 
         # warmup / compile
@@ -87,7 +95,7 @@ def main(args) -> None:
 
         t0 = time.perf_counter()
         for i in range(args.num_steps):
-            imgs, labs = synth_batch()
+            imgs, labs = synth_batch(i)
             state, metrics = step(state, imgs, labs,
                                   jax.random.PRNGKey(i))
             if val is not None and (i + 1) % args.verbose == 0:

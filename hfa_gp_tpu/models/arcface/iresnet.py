@@ -80,7 +80,7 @@ def _init_block(key, cin, cout, stride):
         "bn1": _init_bn(cin),
         "conv1": _conv_init(ks[0], 3, cin, cout),
         "bn2": _init_bn(cout),
-        "prelu": {"alpha": jnp.full((cout,), 0.25)},
+        "prelu": {"alpha": jnp.full((cout,), 0.25, jnp.float32)},
         "conv2": _conv_init(ks[1], 3, cout, cout),
         "bn3": _init_bn(cout),
     }
@@ -118,7 +118,7 @@ def init_iresnet(key: jax.Array, name: str = "iresnet50",
     ks = iter(jax.random.split(key, n_keys + 2))
     p: Params = {"stem_conv": _conv_init(next(ks), 3, 3, 64),
                  "stem_bn": _init_bn(64),
-                 "stem_prelu": {"alpha": jnp.full((64,), 0.25)}}
+                 "stem_prelu": {"alpha": jnp.full((64,), 0.25, jnp.float32)}}
     st: Params = {"stem_bn": _init_bn_stats(64)}
     cin = 64
     for stage, (n, cout) in enumerate(zip(layers, _CHANNELS)):

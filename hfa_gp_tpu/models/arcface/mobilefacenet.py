@@ -56,7 +56,7 @@ def _init_cb(key, k, cin, cout, groups=1, prelu=True):
     p = {"w": _conv_init(key, k, cin, cout, groups)}
     p["bn"], st = _init_bn(cout)
     if prelu:
-        p["prelu"] = {"alpha": jnp.full((cout,), 0.25)}
+        p["prelu"] = {"alpha": jnp.full((cout,), 0.25, jnp.float32)}
     return p, {"bn": st}
 
 

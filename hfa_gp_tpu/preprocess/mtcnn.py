@@ -46,7 +46,7 @@ def _conv_init(key, k, cin, cout):
                                          jnp.float32, -bound, bound),
             "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound,
                                        bound),
-            "prelu": jnp.full((cout,), 0.25)}
+            "prelu": jnp.full((cout,), 0.25, jnp.float32)}
 
 
 def _fc_init(key, cin, cout, prelu=False):
@@ -57,7 +57,7 @@ def _fc_init(key, cin, cout, prelu=False):
          "bias": jax.random.uniform(kb, (cout,), jnp.float32, -bound,
                                     bound)}
     if prelu:
-        p["prelu"] = jnp.full((cout,), 0.25)
+        p["prelu"] = jnp.full((cout,), 0.25, jnp.float32)
     return p
 
 
