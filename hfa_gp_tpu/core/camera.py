@@ -167,6 +167,19 @@ def sample_camera_label(key: jax.Array | None, n: int = 1, r: float = 2.7,
     return pack_label(c2w)
 
 
+def points_to_angles(points: jax.Array, r: float = 2.7
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Camera positions on a radius-r sphere → (h, v) ∈ [0,1] yaw/pitch
+    fractions of pi (inverse of sample_camera_positions; reference
+    points2hv, run_recon_video_rgb.py:138-155)."""
+    y = jnp.clip(points[..., 1] / r, -1.0, 1.0)
+    phi = jnp.arccos(y)
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-12))
+    cos_theta = jnp.clip(points[..., 0] / (r * sin_phi), -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    return theta / math.pi, phi / math.pi
+
+
 # ---------------------------------------------------------------------------
 # Ray sampler (EG3D RaySampler, lives inside the pickle in the reference)
 # ---------------------------------------------------------------------------
