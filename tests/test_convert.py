@@ -138,3 +138,52 @@ def test_stub_unpickler_captures_foreign_classes(tmp_path):
     assert "G_ema" in data
     assert isinstance(data["G_ema"], dict)
     np.testing.assert_allclose(data["G_ema"]["x"].numpy(), 1.0)
+
+
+def test_convert_facerecon_roundtrip():
+    """Synthesize a torch-layout resnet50 state dict from our init tree,
+    convert, and verify numerical identity + a working forward."""
+    import jax.numpy as jnp
+
+    from hfa_gp_tpu.preprocess import facerecon
+    from tools.convert_facerecon import convert
+
+    params = facerecon.init_facerecon(jax.random.PRNGKey(0))
+
+    def oihw(w):
+        return np.asarray(w).transpose(3, 2, 0, 1)
+
+    sd = {"conv1.weight": oihw(params["stem_conv"])}
+    bn = params["stem_bn"]
+    sd.update({"bn1.weight": np.asarray(bn["scale"]),
+               "bn1.bias": np.asarray(bn["bias"]),
+               "bn1.running_mean": np.asarray(bn["mean"]),
+               "bn1.running_var": np.asarray(bn["var"])})
+    for stage, blocks in enumerate((3, 4, 6, 3)):
+        for i in range(blocks):
+            blk = params[f"s{stage}_b{i}"]
+            pre = f"layer{stage + 1}.{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                sd[f"{pre}.{c}.weight"] = oihw(blk[c])
+            for b in ("bn1", "bn2", "bn3"):
+                sd[f"{pre}.{b}.weight"] = np.asarray(blk[b]["scale"])
+                sd[f"{pre}.{b}.bias"] = np.asarray(blk[b]["bias"])
+                sd[f"{pre}.{b}.running_mean"] = np.asarray(blk[b]["mean"])
+                sd[f"{pre}.{b}.running_var"] = np.asarray(blk[b]["var"])
+            if "down_conv" in blk:
+                sd[f"{pre}.downsample.0.weight"] = oihw(blk["down_conv"])
+                d = blk["down_bn"]
+                sd[f"{pre}.downsample.1.weight"] = np.asarray(d["scale"])
+                sd[f"{pre}.downsample.1.bias"] = np.asarray(d["bias"])
+                sd[f"{pre}.downsample.1.running_mean"] = \
+                    np.asarray(d["mean"])
+                sd[f"{pre}.downsample.1.running_var"] = np.asarray(d["var"])
+    for i in range(7):
+        sd[f"final_layers.{i}.weight"] = oihw(params[f"head{i}"]["weight"])
+        sd[f"final_layers.{i}.bias"] = np.asarray(params[f"head{i}"]["bias"])
+
+    tree = convert(sd)
+    tree_allclose(params, tree)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 224, 224, 3))
+    out = facerecon.facerecon_apply(tree, x)
+    assert out.shape == (1, 257)
