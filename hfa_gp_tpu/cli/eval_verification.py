@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.arcface import (init_iresnet, init_mobilefacenet,
-                              iresnet_apply, mobilefacenet_apply)
+from ..models.arcface import registry
 from ..models.arcface.verification import evaluate_pairs
 from ..utils import pytree_io
 
@@ -69,22 +68,16 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(args) -> tuple[float, float, float]:
-    if args.network.startswith("iresnet"):
-        if args.weights:
-            tree = pytree_io.load_npz(args.weights)
-            params, stats = tree["params"], tree["batch_stats"]
-        else:
-            params, stats = init_iresnet(jax.random.PRNGKey(0),
-                                         args.network)
-        embed = jax.jit(lambda x: iresnet_apply(params, stats,
-                                                jnp.asarray(x),
-                                                args.network))
-    elif args.network == "mobilefacenet":
-        params, stats = init_mobilefacenet(jax.random.PRNGKey(0))
-        embed = jax.jit(lambda x: mobilefacenet_apply(
-            params, stats, jnp.asarray(x)))
+    if args.weights:
+        tree = pytree_io.load_npz(args.weights)
+        params, stats = tree["params"], tree["batch_stats"]
     else:
-        raise ValueError(args.network)
+        print(f"WARNING: no --weights given — evaluating {args.network} "
+              "with RANDOM weights (protocol smoke test only)")
+        params, stats = registry.init_backbone(jax.random.PRNGKey(0),
+                                               args.network)
+    embed = jax.jit(lambda x: registry.backbone_apply(
+        args.network, params, stats, jnp.asarray(x)))
 
     if args.bin:
         img1, img2, issame = load_bin(args.bin)

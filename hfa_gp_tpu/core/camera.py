@@ -126,6 +126,16 @@ def sample_camera_positions(key: jax.Array | None, n: int = 1, r: float = 1.0,
             v = (jax.random.uniform(kp, (n, 1)) - 0.5) * 2 * v_stddev + v_mean
             v = jnp.clip(v, 1e-5, 1 - 1e-5)
             phi = jnp.arccos(1 - 2 * v)
+        elif mode == "truncated_gaussian":
+            # Parity: cam_utils.py:35-37. The reference calls a
+            # `truncated_normal_` helper it never defines (a latent
+            # NameError inherited from pi-GAN); pi-GAN's helper resamples a
+            # standard normal truncated to ±2σ, which is exactly
+            # jax.random.truncated_normal(-2, 2).
+            theta = jax.random.truncated_normal(kt, -2.0, 2.0, (n, 1)) \
+                * horizontal_stddev + horizontal_mean
+            phi = jax.random.truncated_normal(kp, -2.0, 2.0, (n, 1)) \
+                * vertical_stddev + vertical_mean
         elif mode == "hybrid":
             ks, kt, kp, kt2, kp2 = jax.random.split(key, 5)
             u_theta = (jax.random.uniform(kt, (n, 1)) - 0.5) * 2 \

@@ -27,7 +27,17 @@ IRESNET_LAYERS = {
     "iresnet50": (3, 4, 14, 3),
     "iresnet100": (3, 13, 30, 5),
     "iresnet200": (6, 26, 60, 6),
+    # backbones/iresnet2060.py:176 — [3, 128, 1024-128, 3]; the reference
+    # wraps it in checkpoint_sequential, here deep stages run under a
+    # remat'd lax.scan (see _SCAN_THRESHOLD).
+    "iresnet2060": (3, 128, 896, 3),
 }
+
+# Stages with more than this many identical blocks are executed as a
+# remat'd lax.scan over stacked per-block params — one compiled block
+# body instead of an unrolled chain (XLA trace/compile time stays O(1)
+# in depth, and remat gives the checkpoint_sequential memory profile).
+_SCAN_THRESHOLD = 16
 _CHANNELS = (64, 128, 256, 512)
 _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.1   # torch convention: new = (1-m)*old + m*batch
@@ -154,11 +164,28 @@ def iresnet_apply(params: Params, batch_stats: Params, x: jax.Array,
                                h, train)
     h = _prelu(params["stem_prelu"], h)
     for stage, n in enumerate(layers):
-        for i in range(n):
-            key = f"s{stage}_b{i}"
-            stride = 2 if i == 0 else 1
-            h, new_st[key] = _block(params[key], batch_stats[key], h,
-                                    stride, train)
+        keys = [f"s{stage}_b{i}" for i in range(n)]
+        h, new_st[keys[0]] = _block(params[keys[0]], batch_stats[keys[0]],
+                                    h, 2, train)
+        rest = keys[1:]
+        if len(rest) >= _SCAN_THRESHOLD:
+            sp = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[params[k] for k in rest])
+            ss = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[batch_stats[k] for k in rest])
+
+            def body(carry, ps):
+                p, s = ps
+                out, ns = _block(p, s, carry, 1, train)
+                return out, ns
+
+            h, ns_stacked = jax.lax.scan(jax.checkpoint(body), h, (sp, ss))
+            for j, k in enumerate(rest):
+                new_st[k] = jax.tree.map(lambda a, j=j: a[j], ns_stacked)
+        else:
+            for k in rest:
+                h, new_st[k] = _block(params[k], batch_stats[k], h, 1,
+                                      train)
     h, new_st["bn2"] = _bn(params["bn2"], batch_stats["bn2"], h, train)
     b = h.shape[0]
     h = h.reshape(b, -1)

@@ -1,9 +1,14 @@
-"""MobileFaceNet face-embedding backbone, TPU-native.
+"""MobileFaceNet face-embedding backbones ("mbf", "mbf_large"), TPU-native.
 
 Rebuilds the reference's mobilefacenet
-(arcface_torch/backbones/mobilefacenet.py, 147 LoC): depthwise-separable
-conv blocks with PReLU, inverted residuals, and a global depthwise conv
-head → 512-d embedding (scale=2 config is the registry default "mbf").
+(arcface_torch/backbones/mobilefacenet.py, 147 LoC): ConvBlock stem at
+64·scale channels, DepthWise inverted-residual stages (pw-expand → dw 3×3
+→ pw-linear, expansion channels are the reference's literal `groups`
+arguments 128/256/512), a 1×1 conv_sep to 512, and the GDC head (global
+7×7 depthwise LinearBlock → flatten → bias-free Linear → BN1d).
+
+Registry parity (backbones/__init__.py:23-31): "mbf" = blocks (1,4,6,2)
+scale 2, "mbf_large" = blocks (2,8,12,4) scale 4.
 """
 
 from __future__ import annotations
@@ -17,6 +22,12 @@ import jax.numpy as jnp
 Params = dict[str, Any]
 _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.1
+
+MBF_CONFIGS = {
+    # name: (blocks, scale) — mobilefacenet.py:143-147
+    "mbf": ((1, 4, 6, 2), 2),
+    "mbf_large": ((2, 8, 12, 4), 4),
+}
 
 
 def _conv_init(key, k, cin, cout, groups=1):
@@ -53,6 +64,7 @@ def _conv(x, w, stride=1, groups=1, pad=None):
 
 
 def _init_cb(key, k, cin, cout, groups=1, prelu=True):
+    """ConvBlock (prelu=True) / LinearBlock (prelu=False)."""
     p = {"w": _conv_init(key, k, cin, cout, groups)}
     p["bn"], st = _init_bn(cout)
     if prelu:
@@ -68,70 +80,82 @@ def _cb(p, st, x, stride=1, groups=1, train=False, pad=None):
     return y, {"bn": new}
 
 
-# (expansion_channels, out_channels, stride) per depthwise block; the
-# "mbf" scale-2 config
-_BLOCKS = [
-    # dw_conv(64,64,g64) stem follower then residual stages
-    (128, 64, 2), (128, 64, 1), (128, 64, 1), (128, 64, 1), (128, 64, 1),
-    (256, 128, 2), (256, 128, 1), (256, 128, 1), (256, 128, 1),
-    (256, 128, 1), (256, 128, 1), (256, 128, 1),
-    (512, 128, 2), (256, 128, 1), (256, 128, 1),
-]
+def _arch(blocks, scale):
+    """DepthWise descriptors (cin, cout, expansion, stride, residual)
+    mirroring MobileFaceNet.__init__ (mobilefacenet.py:89-115). The
+    blocks[0]==1 stem follower is a plain grouped ConvBlock handled
+    separately in init/apply."""
+    c1, c2 = 64 * scale, 128 * scale
+    arch = []
+    if blocks[0] > 1:
+        arch += [(c1, c1, 128, 1, True)] * blocks[0]
+    arch += [(c1, c1, 128, 2, False)]
+    arch += [(c1, c1, 128, 1, True)] * blocks[1]
+    arch += [(c1, c2, 256, 2, False)]
+    arch += [(c2, c2, 256, 1, True)] * blocks[2]
+    arch += [(c2, c2, 512, 2, False)]
+    arch += [(c2, c2, 256, 1, True)] * blocks[3]
+    return arch
 
 
-def init_mobilefacenet(key: jax.Array, embedding_dim: int = 512
-                       ) -> tuple[Params, Params]:
-    ks = iter(jax.random.split(key, 4 * len(_BLOCKS) + 8))
+def init_mobilefacenet(key: jax.Array, embedding_dim: int = 512,
+                       name: str = "mbf") -> tuple[Params, Params]:
+    blocks, scale = MBF_CONFIGS[name]
+    arch = _arch(blocks, scale)
+    c1 = 64 * scale
+    ks = iter(jax.random.split(key, 3 * len(arch) + 8))
     p: Params = {}
     st: Params = {}
-    p["stem"], st["stem"] = _init_cb(next(ks), 3, 3, 64)
-    p["stem_dw"], st["stem_dw"] = _init_cb(next(ks), 3, 64, 64, groups=64)
-    cin = 64
-    for i, (exp, cout, stride) in enumerate(_BLOCKS):
+    p["stem"], st["stem"] = _init_cb(next(ks), 3, 3, c1)
+    if blocks[0] == 1:
+        # ConvBlock(64s, 64s, 3x3, groups=64) — groups literal 64
+        p["stem_dw"], st["stem_dw"] = _init_cb(next(ks), 3, c1, c1,
+                                               groups=64)
+    for i, (cin, cout, exp, _, _) in enumerate(arch):
         bp: Params = {}
         bs: Params = {}
         bp["pw1"], bs["pw1"] = _init_cb(next(ks), 1, cin, exp)
         bp["dw"], bs["dw"] = _init_cb(next(ks), 3, exp, exp, groups=exp)
-        bp["pw2"], bs["pw2"] = _init_cb(next(ks), 1, exp, cout,
-                                        prelu=False)
+        bp["pw2"], bs["pw2"] = _init_cb(next(ks), 1, exp, cout, prelu=False)
         p[f"b{i}"] = bp
         st[f"b{i}"] = bs
-        cin = cout
-    p["head_pw"], st["head_pw"] = _init_cb(next(ks), 1, cin, 512)
+    c_last = arch[-1][1]
+    p["head_pw"], st["head_pw"] = _init_cb(next(ks), 1, c_last, 512)
     p["head_gdw"], st["head_gdw"] = _init_cb(next(ks), 7, 512, 512,
                                              groups=512, prelu=False)
+    # GDC Linear is bias-free in the reference (mobilefacenet.py:81)
     p["fc"] = {"weight": jax.random.normal(
-        next(ks), (embedding_dim, 512)) * 0.01,
-        "bias": jnp.zeros((embedding_dim,))}
+        next(ks), (embedding_dim, 512)) * 0.01}
     p["feat_bn"], st["feat_bn"] = _init_bn(embedding_dim)
     return p, st
 
 
 def mobilefacenet_apply(params: Params, batch_stats: Params, x: jax.Array,
-                        *, train: bool = False):
-    """x (B, 112, 112, 3) → (B, 512) [, new_batch_stats]."""
+                        *, name: str = "mbf", train: bool = False):
+    """x (B, 112, 112, 3) → (B, embedding_dim) [, new_batch_stats]."""
+    blocks, scale = MBF_CONFIGS[name]
+    arch = _arch(blocks, scale)
     new: Params = {}
     h, new["stem"] = _cb(params["stem"], batch_stats["stem"], x, stride=2,
                          train=train)
-    h, new["stem_dw"] = _cb(params["stem_dw"], batch_stats["stem_dw"], h,
-                            groups=64, train=train)
-    cin = 64
-    for i, (exp, cout, stride) in enumerate(_BLOCKS):
+    if blocks[0] == 1:
+        h, new["stem_dw"] = _cb(params["stem_dw"], batch_stats["stem_dw"],
+                                h, groups=64, train=train)
+    for i, (cin, cout, exp, stride, residual) in enumerate(arch):
         bp, bs = params[f"b{i}"], batch_stats[f"b{i}"]
         nb: Params = {}
         y, nb["pw1"] = _cb(bp["pw1"], bs["pw1"], h, train=train)
         y, nb["dw"] = _cb(bp["dw"], bs["dw"], y, stride=stride,
                           groups=exp, train=train)
         y, nb["pw2"] = _cb(bp["pw2"], bs["pw2"], y, train=train)
-        h = h + y if (stride == 1 and cin == cout) else y
+        h = h + y if residual else y
         new[f"b{i}"] = nb
-        cin = cout
     h, new["head_pw"] = _cb(params["head_pw"], batch_stats["head_pw"], h,
                             train=train)
     h, new["head_gdw"] = _cb(params["head_gdw"], batch_stats["head_gdw"],
                              h, groups=512, train=train, pad=0)
     h = h.reshape(h.shape[0], -1)
-    h = h @ params["fc"]["weight"].T + params["fc"]["bias"]
+    h = h @ params["fc"]["weight"].T
     h, new["feat_bn"] = _bn(params["feat_bn"], batch_stats["feat_bn"], h,
                             train)
     if train:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -181,6 +181,5 @@ class PartialFC:
             shard_fn, mesh=self.mesh,
             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
                       P(DATA_AXIS), P()),
-            out_specs=P(),
-            check_rep=False)
+            out_specs=P(), check_vma=False)
         return fn(weight, embeddings, labels, sample_key)[0]

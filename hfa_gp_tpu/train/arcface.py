@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.arcface import iresnet
+from ..models.arcface import registry
 from ..models.arcface.scheduler import poly_scheduler
 from ..parallel.partial_fc import PartialFC
 
@@ -46,7 +46,7 @@ def make_optimizers(total_steps: int, *, lr: float = 0.1,
 def init_state(key: jax.Array, pfc: PartialFC, tx, fc_tx,
                network: str = "iresnet50") -> ArcFaceState:
     kb, kf = jax.random.split(key)
-    backbone, stats = iresnet.init_iresnet(kb, network)
+    backbone, stats = registry.init_backbone(kb, network)
     fc_weight = pfc.init(kf)
     return ArcFaceState(
         backbone=backbone, batch_stats=stats, fc_weight=fc_weight,
@@ -58,9 +58,10 @@ def make_train_step(pfc: PartialFC, tx, fc_tx,
                     network: str = "iresnet50",
                     dtype=jnp.bfloat16, donate: bool = True):
     def loss_fn(backbone, fc_weight, batch_stats, images, labels, key):
-        emb, new_stats = iresnet.iresnet_apply(
-            backbone, batch_stats, images, network, train=True,
-            dtype=dtype)
+        kbb, key = jax.random.split(key)
+        emb, new_stats = registry.backbone_apply(
+            network, backbone, batch_stats, images, train=True,
+            rng=kbb, dtype=dtype)
         loss = pfc.loss(fc_weight, emb, labels, sample_key=key)
         return loss, new_stats
 

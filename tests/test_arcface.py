@@ -36,6 +36,46 @@ def test_mobilefacenet_shapes():
     assert np.isfinite(np.asarray(emb)).all()
 
 
+def test_mbf_large_shapes():
+    from hfa_gp_tpu.models.arcface import MBF_CONFIGS
+    assert MBF_CONFIGS["mbf_large"] == ((2, 8, 12, 4), 4)
+    p, st = init_mobilefacenet(jax.random.PRNGKey(2), name="mbf_large")
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 112, 112, 3))
+    emb = mobilefacenet_apply(p, st, x, name="mbf_large")
+    assert emb.shape == (1, 512)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_registry_aliases_and_dispatch():
+    from hfa_gp_tpu.models.arcface import (backbone_apply, canonical_name,
+                                           init_backbone)
+    assert canonical_name("r50") == "iresnet50"
+    assert canonical_name("r2060") == "iresnet2060"
+    p, st = init_backbone(jax.random.PRNGKey(0), "r18")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 112, 112, 3))
+    emb = backbone_apply("r18", p, st, x)
+    assert emb.shape == (2, 512)
+    with pytest.raises(ValueError):
+        init_backbone(jax.random.PRNGKey(0), "nope")
+
+
+def test_iresnet_scan_path_matches_loop(monkeypatch):
+    """The remat'd lax.scan over stacked deep-stage blocks (the
+    iresnet2060 path) must equal the unrolled python loop."""
+    from hfa_gp_tpu.models.arcface import iresnet as ir
+    p, st = init_iresnet(jax.random.PRNGKey(0), "iresnet34")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 112, 112, 3))
+    ref = iresnet_apply(p, st, x, "iresnet34")
+    monkeypatch.setattr(ir, "_SCAN_THRESHOLD", 2)
+    scanned = iresnet_apply(p, st, x, "iresnet34")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(scanned),
+                               rtol=2e-4, atol=2e-4)
+    # train mode: per-block new stats come back under the right keys
+    emb, new_st = iresnet_apply(p, st, x, "iresnet34", train=True)
+    assert "s2_b4" in new_st and new_st["s2_b4"]["bn1"]["mean"].shape \
+        == st["s2_b4"]["bn1"]["mean"].shape
+
+
 def test_poly_scheduler():
     s = poly_scheduler(0.1, total_steps=100, warmup_steps=10)
     assert float(s(0)) == 0.0

@@ -41,11 +41,35 @@ def test_synthetic_dataset():
 
 @pytest.mark.parametrize("name", ["vit_t"])
 def test_vit_backbone(name):
-    p = init_vit(jax.random.PRNGKey(0), name)
+    p, st = init_vit(jax.random.PRNGKey(0), name)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 112, 112, 3))
-    e = vit_apply(p, x, name)
+    e = vit_apply(p, x, name, batch_stats=st)
     assert e.shape == (2, 512)
     assert np.isfinite(np.asarray(e)).all()
     # permutation equivariance sanity: shifting input changes embedding
-    e2 = vit_apply(p, jax.numpy.roll(x, 5, axis=1), name)
+    e2 = vit_apply(p, jax.numpy.roll(x, 5, axis=1), name,
+                   batch_stats=st)
     assert float(jax.numpy.abs(e - e2).max()) > 1e-5
+
+
+def test_vit_train_mode_mask_and_droppath():
+    """Masked train forward (vit_s has mask_ratio 0.1, drop_path 0.1)
+    runs with static shapes and returns updated BN stats; the
+    dp005_mask0 variant takes the no-masking path."""
+    p, st = init_vit(jax.random.PRNGKey(0), "vit_t")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 112, 112, 3))
+    e, new_st = vit_apply(p, x, "vit_t", batch_stats=st, train=True,
+                          rng=jax.random.PRNGKey(2))
+    assert e.shape == (2, 512) and np.isfinite(np.asarray(e)).all()
+    assert float(jax.numpy.abs(
+        new_st["head0_bn"]["mean"] - st["head0_bn"]["mean"]).max()) > 0
+    p2, st2 = init_vit(jax.random.PRNGKey(0), "vit_t_dp005_mask0")
+    e2, _ = vit_apply(p2, x, "vit_t_dp005_mask0", batch_stats=st2,
+                      train=True, rng=jax.random.PRNGKey(2))
+    assert e2.shape == (2, 512)
+
+
+def test_vit_registry_variants_init():
+    for name in VIT_CONFIGS:
+        p, st = init_vit(jax.random.PRNGKey(0), name)
+        assert "head0" in p and "head0_bn" in st
