@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="LFW-style .bin pair file")
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--pca", type=int, default=0,
+                   help="per-fold PCA dims (reference verification.py:76)")
+    p.add_argument("--roc_out", type=str, default=None,
+                   help="write an ROC curve plot (png) here")
     return p
 
 
@@ -87,9 +91,11 @@ def main(args) -> tuple[float, float, float]:
         raise SystemExit("need --bin or --synthetic")
 
     acc, std, thr = evaluate_pairs(embed, img1, img2, issame,
-                                   batch_size=args.batch_size)
+                                   batch_size=args.batch_size,
+                                   pca=args.pca, roc_out=args.roc_out)
     print(f"accuracy {acc:.4f} ± {std:.4f} (threshold {thr:.3f}, "
-          f"{len(issame)} pairs, {args.network})")
+          f"{len(issame)} pairs, {args.network}"
+          + (f", pca {args.pca}" if args.pca else "") + ")")
     return acc, std, thr
 
 

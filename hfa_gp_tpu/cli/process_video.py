@@ -39,6 +39,18 @@ def main(args) -> None:
                     if args.mtcnn_weights else None)
     recon_params = (pytree_io.load_npz(args.recon_weights)
                     if args.recon_weights else None)
+    if mtcnn_params is None and not args.use_existing_detections:
+        print("=" * 70 + "\nWARNING: no --mtcnn_weights — face detection "
+              "runs with RANDOM weights.\nDetections/crops will be garbage "
+              "on real video. Convert pretrained\nweights with "
+              "tools/convert_mtcnn.py first.\n" + "=" * 70,
+              file=sys.stderr)
+    if recon_params is None:
+        print("=" * 70 + "\nWARNING: no --recon_weights — the 3D face "
+              "reconstruction net runs with\nRANDOM weights; extracted "
+              "poses will be garbage on real video. Convert\nthe "
+              "Deep3DFaceRecon epoch-20 checkpoint with "
+              "tools/convert_facerecon.py.\n" + "=" * 70, file=sys.stderr)
     landmarks = None
     if args.use_existing_detections:
         import os

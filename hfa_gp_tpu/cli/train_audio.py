@@ -50,7 +50,7 @@ def main(args) -> None:
     params = audio_train.init_audio_params(jax.random.PRNGKey(0), cfg,
                                            gen_params)
     lpips_params = common.load_lpips(args)
-    tx = make_optimizer(args.lr)
+    tx = audio_train.make_audio_optimizer(args.lr)
     step_plain = audio_train.make_train_step(cfg, tx, args.tune_iter,
                                              smooth=False)
     step_smooth = audio_train.make_train_step(cfg, tx, args.tune_iter,
@@ -71,12 +71,20 @@ def main(args) -> None:
             list(range(len(dataset))), args.batch_size,
             collate=lambda items: np.asarray(items)))
 
+        was_smooth = args.start_iter >= args.nosmo_iters
         for idx in range(args.iter):
             i = idx + args.start_iter
             ids = next(idx_iter)
             imgs = np.stack([dataset[int(j)][0] for j in ids])
             labels = np.stack([dataset[int(j)][1] for j in ids])
             smooth = i >= args.nosmo_iters
+            if smooth and not was_smooth:
+                # fresh AudAtt Adam at the phase switch (reference parity)
+                state = state._replace(opt_state=mesh_mod.replicate(
+                    mesh, audio_train.reset_audattnet_opt(
+                        jax.device_get(state.opt_state), tx,
+                        jax.device_get(state.params))))
+                was_smooth = True
             if smooth:
                 wins = np.stack([dataset.get_audio_window(int(j))
                                  for j in ids])

@@ -51,6 +51,14 @@ def make_mesh_for_batch(batch_size: int, n_model: int = 1,
     for d in range(1, avail + 1):
         if batch_size % d == 0:
             n_data = d
+    if n_data * n_model < len(devices):
+        import logging
+        logging.getLogger(__name__).warning(
+            "batch_size %d does not divide across all %d devices - using a "
+            "%dx%d mesh (%d devices idle); pick a batch divisible by the "
+            "device count to use the whole slice",
+            batch_size, len(devices), n_data, n_model,
+            len(devices) - n_data * n_model)
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 

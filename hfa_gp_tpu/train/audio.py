@@ -7,8 +7,11 @@ Two phases (trainer_audio.py:57-113):
     this phase — reproduced here by gating its grads).
 
 The reference's three Adam optimizers (w_optim / optimizer_Aud /
-optimizer_AudAtt, same lr) collapse into one Adam over the combined tree —
-Adam is elementwise, so the math is identical.
+optimizer_AudAtt, same lr) become an optax.multi_transform of three Adams
+keyed by top-level subtree — elementwise-identical, AND each keeps its own
+bias-correction count, so resetting the AudAtt leg at the phase switch
+(reset_audattnet_opt) reproduces the reference's fresh optimizer exactly
+(its optimizer_AudAtt never steps before trainer_audio.py:110-111).
 
 Window extraction (the data-dependent auds[i-4:i+4] zero-padded slice) is
 host-side in data/dataset.py — static shapes in the jitted step.
@@ -29,6 +32,30 @@ from ..models.avatar import heads
 from .state import TrainState, apply_generator_freeze
 
 Params = dict[str, Any]
+
+
+def make_audio_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
+    """Three Adams (model / audnet / audattnet) with independent
+    bias-correction counts — the reference's w_optim / optimizer_Aud /
+    optimizer_AudAtt (trainer_audio.py:50-55)."""
+    from .state import make_optimizer
+    transforms = {k: make_optimizer(lr)
+                  for k in ("model", "audnet", "audattnet")}
+    return optax.multi_transform(
+        transforms,
+        lambda tree: {k: jax.tree_util.tree_map(lambda _: k, v)
+                      for k, v in tree.items()})
+
+
+def reset_audattnet_opt(opt_state, tx: optax.GradientTransformation,
+                        params: Params):
+    """Fresh AudAtt optimizer state at the nosmo→smooth phase switch:
+    the reference's optimizer_AudAtt takes its first-ever step there,
+    so its Adam count/moments start at zero (trainer_audio.py:108-111)."""
+    fresh = tx.init(params)
+    inner = dict(opt_state.inner_states)
+    inner["audattnet"] = fresh.inner_states["audattnet"]
+    return opt_state._replace(inner_states=inner)
 
 
 def init_audio_params(key: jax.Array, cfg: heads.AvatarConfig,

@@ -98,6 +98,29 @@ def test_kfold_verification_separates():
     assert acc > 0.95
 
 
+def test_evaluate_kfold_pca_and_roc(tmp_path):
+    from hfa_gp_tpu.models.arcface.verification import (evaluate_kfold,
+                                                        save_roc_plot)
+    rng = np.random.default_rng(0)
+    n, d = 200, 64
+    base = rng.standard_normal((n, d))
+    emb1 = np.concatenate([base, base])
+    emb2 = np.concatenate([base + 0.05 * rng.standard_normal((n, d)),
+                           rng.standard_normal((n, d))])
+    issame = np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
+    r = evaluate_kfold(emb1, emb2, issame)
+    assert r["accuracy"] > 0.95
+    # ROC monotone: tpr non-decreasing along threshold sweep
+    assert (np.diff(r["tpr"]) >= -1e-9).all()
+    assert 0.0 <= r["val"] <= 1.0
+    # PCA path: projecting to 16 dims still separates this easy set
+    r_pca = evaluate_kfold(emb1, emb2, issame, pca=16)
+    assert r_pca["accuracy"] > 0.9
+    out = tmp_path / "roc.png"
+    wrote = save_roc_plot(str(out), r["fpr"], r["tpr"])
+    assert wrote == out.exists()
+
+
 def test_arcface_train_step_hybrid_mesh():
     mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
     pfc = PartialFC(mesh, num_classes=64, embedding_dim=512)

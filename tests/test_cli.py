@@ -88,8 +88,8 @@ def test_train_rgb_cli_and_reenact(tiny_cfg_patch, rgb_root, tmp_path):
         or glob.glob(os.path.join(demo, "t", "*.avi"))
 
 
-def test_train_3dmm_cli(tiny_cfg_patch, rgb_root, tmp_path):
-    from hfa_gp_tpu.cli import train_3dmm
+def test_train_3dmm_cli_and_reenact(tiny_cfg_patch, rgb_root, tmp_path):
+    from hfa_gp_tpu.cli import run_recon_video_3dmm, train_3dmm
 
     exp = str(tmp_path / "exps3") + "/"
     args = train_3dmm.build_argparser().parse_args([
@@ -100,7 +100,22 @@ def test_train_3dmm_cli(tiny_cfg_patch, rgb_root, tmp_path):
         "--tune_iter", "1000",
     ])
     train_3dmm.main(args)
-    assert glob.glob(os.path.join(exp, "v1", "checkpoint", "*"))
+    ckpts = glob.glob(os.path.join(exp, "v1", "checkpoint", "*"))
+    assert ckpts
+
+    # 3DMM-driven reenactment (the reference's run_video_exp_3dmm.py is
+    # broken at import; ours must run end-to-end)
+    demo = str(tmp_path / "demo3")
+    rargs = run_recon_video_3dmm.build_argparser().parse_args([
+        "--size", "64", "--dataset_root", rgb_root,
+        "--person", "person_3", "--latent_dim_shape", "4",
+        "--model_path", sorted(ckpts)[-1], "--demo_dir", demo,
+        "--demo_name", "t", "--render_batch", "2", "--fps", "4",
+    ])
+    run_recon_video_3dmm.main(rargs)
+    assert len(glob.glob(os.path.join(demo, "t", "*.png"))) == 4
+    assert glob.glob(os.path.join(demo, "t", "*.mp4")) \
+        or glob.glob(os.path.join(demo, "t", "*.avi"))
 
 
 def test_train_audio_cli_and_reenact(tiny_cfg_patch, tmp_path_factory,

@@ -233,3 +233,34 @@ def test_synthesis_ray_chunk_parity(gen):
     chunked = synthesis(params, cfg_c, ws, label)["image"]
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(1, 8), (4, 2)])
+def test_synthesis_ray_shard_parity(gen, n_data, n_model):
+    """SP analog: rays sharded over the mesh 'model' axis
+    (RenderConfig.ray_shard_axis) must render identically to the
+    unsharded single-device path (SURVEY §2.5 SP row)."""
+    import dataclasses
+
+    from hfa_gp_tpu.parallel import mesh as mesh_mod
+
+    cfg, params = gen
+    b = max(n_data, 2)
+    ws = jax.random.normal(jax.random.PRNGKey(9), (b, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=b, mode=None))
+    ref = synthesis(params, cfg, ws, label)["image"]
+
+    mesh = mesh_mod.make_mesh(n_data=n_data, n_model=n_model)
+    cfg_s = dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, ray_shard_axis=mesh_mod.MODEL_AXIS))
+    with jax.sharding.set_mesh(mesh):
+        p = mesh_mod.replicate(mesh, params)
+        ws_s, label_s = mesh_mod.shard_batch(mesh, (ws, label)) \
+            if n_data > 1 else (mesh_mod.replicate(mesh, ws),
+                                mesh_mod.replicate(mesh, label))
+        out = jax.jit(lambda p, w, l: synthesis(p, cfg_s, w, l)["image"])(
+            p, ws_s, label_s)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=2e-5)

@@ -88,7 +88,7 @@ def test_3dmm_train_step_runs(cfg, lpips_params):
 
 def test_audio_train_phases(cfg, lpips_params):
     params = audio_train.init_audio_params(jax.random.PRNGKey(6), cfg)
-    tx = make_optimizer()
+    tx = audio_train.make_audio_optimizer()
     state = init_state(params, tx)
     real, label = _batch(cfg, jax.random.PRNGKey(7))
 
@@ -102,6 +102,20 @@ def test_audio_train_phases(cfg, lpips_params):
         np.asarray(state.params["audattnet"]["att_fc"]["weight"]),
         np.asarray(att0), atol=1e-7)
     assert np.isfinite(float(m1["loss"]))
+
+    # phase switch: the AudAtt Adam restarts with a zero count, like the
+    # reference's never-yet-stepped optimizer_AudAtt
+    counts_before = [int(c) for c in jax.tree_util.tree_leaves(
+        state.opt_state.inner_states["audattnet"])
+        if getattr(c, "dtype", None) == jnp.int32]
+    assert any(c > 0 for c in counts_before)
+    reset = audio_train.reset_audattnet_opt(state.opt_state, tx,
+                                            state.params)
+    counts_after = [int(c) for c in jax.tree_util.tree_leaves(
+        reset.inner_states["audattnet"])
+        if getattr(c, "dtype", None) == jnp.int32]
+    assert all(c == 0 for c in counts_after)
+    state = state._replace(opt_state=reset)
 
     # phase 2: smoothing window — AudAttNet trains
     step2 = audio_train.make_train_step(cfg, tx, tune_iter=100,
