@@ -187,3 +187,312 @@ def test_convert_facerecon_roundtrip():
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 224, 224, 3))
     out = facerecon.facerecon_apply(tree, x)
     assert out.shape == (1, 257)
+
+
+# ---------------------------------------------------------------------------
+# MTCNN converter (tools/convert_mtcnn.py)
+# ---------------------------------------------------------------------------
+
+
+class _TorchPNet(torch.nn.Module):
+    """Clean-room facenet-pytorch PNet (models/mtcnn.py architecture)."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 10, 3)
+        self.prelu1 = nn.PReLU(10)
+        self.pool1 = nn.MaxPool2d(2, 2, ceil_mode=True)
+        self.conv2 = nn.Conv2d(10, 16, 3)
+        self.prelu2 = nn.PReLU(16)
+        self.conv3 = nn.Conv2d(16, 32, 3)
+        self.prelu3 = nn.PReLU(32)
+        self.conv4_1 = nn.Conv2d(32, 2, 1)
+        self.conv4_2 = nn.Conv2d(32, 4, 1)
+
+    def forward(self, x):
+        x = self.prelu1(self.conv1(x))
+        x = self.pool1(x)
+        x = self.prelu2(self.conv2(x))
+        x = self.prelu3(self.conv3(x))
+        return torch.softmax(self.conv4_1(x), 1), self.conv4_2(x)
+
+
+class _TorchRNet(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 28, 3)
+        self.prelu1 = nn.PReLU(28)
+        self.pool1 = nn.MaxPool2d(3, 2, ceil_mode=True)
+        self.conv2 = nn.Conv2d(28, 48, 3)
+        self.prelu2 = nn.PReLU(48)
+        self.pool2 = nn.MaxPool2d(3, 2, ceil_mode=True)
+        self.conv3 = nn.Conv2d(48, 64, 2)
+        self.prelu3 = nn.PReLU(64)
+        self.dense4 = nn.Linear(576, 128)
+        self.prelu4 = nn.PReLU(128)
+        self.dense5_1 = nn.Linear(128, 2)
+        self.dense5_2 = nn.Linear(128, 4)
+
+    def forward(self, x):
+        x = self.pool1(self.prelu1(self.conv1(x)))
+        x = self.pool2(self.prelu2(self.conv2(x)))
+        x = self.prelu3(self.conv3(x))
+        x = x.permute(0, 3, 2, 1).contiguous()       # Matlab flatten order
+        x = self.prelu4(self.dense4(x.view(x.shape[0], -1)))
+        return torch.softmax(self.dense5_1(x), 1), self.dense5_2(x)
+
+
+class _TorchONet(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 32, 3)
+        self.prelu1 = nn.PReLU(32)
+        self.pool1 = nn.MaxPool2d(3, 2, ceil_mode=True)
+        self.conv2 = nn.Conv2d(32, 64, 3)
+        self.prelu2 = nn.PReLU(64)
+        self.pool2 = nn.MaxPool2d(3, 2, ceil_mode=True)
+        self.conv3 = nn.Conv2d(64, 64, 3)
+        self.prelu3 = nn.PReLU(64)
+        self.pool3 = nn.MaxPool2d(2, 2, ceil_mode=True)
+        self.conv4 = nn.Conv2d(64, 128, 2)
+        self.prelu4 = nn.PReLU(128)
+        self.dense5 = nn.Linear(1152, 256)
+        self.prelu5 = nn.PReLU(256)
+        self.dense6_1 = nn.Linear(256, 2)
+        self.dense6_2 = nn.Linear(256, 4)
+        self.dense6_3 = nn.Linear(256, 10)
+
+    def forward(self, x):
+        x = self.pool1(self.prelu1(self.conv1(x)))
+        x = self.pool2(self.prelu2(self.conv2(x)))
+        x = self.pool3(self.prelu3(self.conv3(x)))
+        x = self.prelu4(self.conv4(x))
+        x = x.permute(0, 3, 2, 1).contiguous()
+        x = self.prelu5(self.dense5(x.view(x.shape[0], -1)))
+        return (torch.softmax(self.dense6_1(x), 1), self.dense6_2(x),
+                self.dense6_3(x))
+
+
+def test_convert_mtcnn_matches_torch():
+    """The facenet-pytorch weight mapping must be numerically exact:
+    random torch nets vs our JAX cascade through the converter."""
+    from hfa_gp_tpu.preprocess import mtcnn as jm
+    from tools.convert_mtcnn import convert_facenet_pytorch
+
+    torch.manual_seed(0)
+    tp, tr, to = _TorchPNet().eval(), _TorchRNet().eval(), _TorchONet().eval()
+    sds = [{k: v.numpy() for k, v in m.state_dict().items()}
+           for m in (tp, tr, to)]
+    params = convert_facenet_pytorch(*sds)
+
+    rng = np.random.default_rng(0)
+    x_p = rng.standard_normal((1, 37, 51, 3)).astype(np.float32)
+    x_r = rng.standard_normal((3, 24, 24, 3)).astype(np.float32)
+    x_o = rng.standard_normal((3, 48, 48, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        tprob, treg = tp(torch.from_numpy(x_p).permute(0, 3, 1, 2))
+        rprob, rreg = tr(torch.from_numpy(x_r).permute(0, 3, 1, 2))
+        oprob, oreg, olmk = to(torch.from_numpy(x_o).permute(0, 3, 1, 2))
+
+    jprob, jreg = jm.pnet_apply(params["pnet"], x_p)
+    np.testing.assert_allclose(np.asarray(jprob),
+                               tprob.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jreg),
+                               treg.permute(0, 2, 3, 1).numpy(), atol=2e-5)
+
+    jprob, jreg = jm.rnet_apply(params["rnet"], x_r)
+    np.testing.assert_allclose(np.asarray(jprob), rprob.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jreg), rreg.numpy(), atol=2e-5)
+
+    jprob, jreg, jlmk = jm.onet_apply(params["onet"], x_o)
+    np.testing.assert_allclose(np.asarray(jprob), oprob.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jreg), oreg.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jlmk), olmk.numpy(), atol=2e-5)
+
+
+def test_convert_mtcnn_bake_transpose_identity():
+    """bake_transpose must make net(x) equal the original net on the
+    transposed image with outputs mapped back (Sandberg det*.npy
+    transposed-image protocol)."""
+    from hfa_gp_tpu.preprocess import mtcnn as jm
+    from tools.convert_mtcnn import bake_transpose
+
+    params = jax.tree_util.tree_map(
+        np.asarray, jm.init_mtcnn(jax.random.PRNGKey(0)))
+    baked = bake_transpose(params)
+    rng = np.random.default_rng(1)
+
+    x = rng.standard_normal((1, 30, 44, 3)).astype(np.float32)
+    xt = np.transpose(x, (0, 2, 1, 3))
+    prob_b, reg_b = jm.pnet_apply(baked["pnet"], x)
+    prob_o, reg_o = jm.pnet_apply(params["pnet"], xt)
+    np.testing.assert_allclose(np.asarray(prob_b),
+                               np.transpose(np.asarray(prob_o),
+                                            (0, 2, 1, 3)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(reg_b),
+        np.transpose(np.asarray(reg_o), (0, 2, 1, 3))[..., [1, 0, 3, 2]],
+        atol=1e-5)
+
+    x = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    xt = np.transpose(x, (0, 2, 1, 3))
+    prob_b, reg_b = jm.rnet_apply(baked["rnet"], x)
+    prob_o, reg_o = jm.rnet_apply(params["rnet"], xt)
+    np.testing.assert_allclose(np.asarray(prob_b), np.asarray(prob_o),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_b),
+                               np.asarray(reg_o)[:, [1, 0, 3, 2]],
+                               atol=1e-5)
+
+    x = rng.standard_normal((2, 48, 48, 3)).astype(np.float32)
+    xt = np.transpose(x, (0, 2, 1, 3))
+    prob_b, reg_b, lmk_b = jm.onet_apply(baked["onet"], x)
+    prob_o, reg_o, lmk_o = jm.onet_apply(params["onet"], xt)
+    np.testing.assert_allclose(np.asarray(prob_b), np.asarray(prob_o),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_b),
+                               np.asarray(reg_o)[:, [1, 0, 3, 2]],
+                               atol=1e-5)
+    perm = np.concatenate([np.arange(5, 10), np.arange(5)])
+    np.testing.assert_allclose(np.asarray(lmk_b),
+                               np.asarray(lmk_o)[:, perm], atol=1e-5)
+
+
+def test_convert_mtcnn_npz_roundtrip_detects(tmp_path):
+    """Converted npz loads through pytree_io and drives detect_faces."""
+    from hfa_gp_tpu.preprocess import mtcnn as jm
+    from hfa_gp_tpu.utils import pytree_io
+    from tools.convert_mtcnn import convert_facenet_pytorch
+
+    torch.manual_seed(1)
+    sds = [{k: v.numpy() for k, v in m.state_dict().items()}
+           for m in (_TorchPNet(), _TorchRNet(), _TorchONet())]
+    params = convert_facenet_pytorch(*sds)
+    path = str(tmp_path / "mtcnn.npz")
+    pytree_io.save_npz(params, path)
+    loaded = pytree_io.load_npz(path)
+    img = np.random.default_rng(2).integers(
+        0, 255, (120, 96, 3), dtype=np.uint8)
+    out = jm.detect_faces(loaded, img)         # random weights: any result
+    assert isinstance(out, list)
+
+
+# ---------------------------------------------------------------------------
+# Avatar checkpoint converter (tools/convert_avatar.py)
+# ---------------------------------------------------------------------------
+
+
+def _encoder_to_torch_sd(enc: dict) -> dict:
+    """Inverse of convert_avatar.convert_encoder: our encoder pytree →
+    reference Encoder state-dict keys (numpy values)."""
+    def oihw(w):
+        return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+    sd = {"net_app.convs.0.0.weight": oihw(enc["net_app"]["stem"]["weight"]),
+          "net_app.convs.0.1.bias": np.asarray(
+              enc["net_app"]["stem"]["act_bias"])}
+    i = 0
+    while f"res{i}" in enc["net_app"]:
+        r = enc["net_app"][f"res{i}"]
+        b = f"net_app.convs.{i + 1}"
+        sd[f"{b}.conv1.0.weight"] = oihw(r["conv1"]["weight"])
+        sd[f"{b}.conv1.1.bias"] = np.asarray(r["conv1"]["act_bias"])
+        sd[f"{b}.conv2.0.kernel"] = np.ones((4, 4), np.float32)  # Blur buf
+        sd[f"{b}.conv2.1.weight"] = oihw(r["conv2"]["weight"])
+        sd[f"{b}.conv2.2.bias"] = np.asarray(r["conv2"]["act_bias"])
+        sd[f"{b}.skip.0.kernel"] = np.ones((4, 4), np.float32)
+        sd[f"{b}.skip.1.weight"] = oihw(r["skip"]["weight"])
+        i += 1
+    sd[f"net_app.convs.{i + 1}.weight"] = oihw(
+        enc["net_app"]["final"]["weight"])
+    for j in range(5):
+        if f"fc{j}" in enc["fc"]:
+            sd[f"fc.{j}.weight"] = np.asarray(enc["fc"][f"fc{j}"]["weight"])
+            sd[f"fc.{j}.bias"] = np.asarray(enc["fc"][f"fc{j}"]["bias"])
+    if "pose" in enc:
+        for j in range(5):
+            sd[f"pose.{j}.weight"] = np.asarray(
+                enc["pose"][f"fc{j}"]["weight"])
+            sd[f"pose.{j}.bias"] = np.asarray(enc["pose"][f"fc{j}"]["bias"])
+    return sd
+
+
+def test_convert_avatar_rgb_roundtrip():
+    """Synthesize a reference-layout RGB checkpoint from our params, run
+    the converter, and require exact tree equality + a working forward."""
+    from hfa_gp_tpu.models.avatar import heads
+    from tools.convert_avatar import convert_avatar_checkpoint
+
+    cfg = heads.AvatarConfig(size=64, dim_shape=8, out_pose=True,
+                             eg3d=small_config())
+    params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
+
+    sd = {}
+    for k, v in _encoder_to_torch_sd(params["encoder"]).items():
+        sd[f"encoder.{k}"] = v
+    sd["bases"] = np.asarray(params["subspace"]["bases"])
+    sd["delta"] = np.asarray(params["subspace"]["delta"])
+    for k, v in to_torch_sd(params["generator"]).items():
+        sd[f"generator.{k}"] = v.numpy()
+
+    tree = convert_avatar_checkpoint({"gen": sd}, "rgb")
+    tree_allclose(params, tree)
+
+    # the converted tree drives the full flagship forward
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3),
+                             minval=-1, maxval=1)
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+    w, _pose = heads.rgb_get_weights(tree, cfg, img)
+    latent = heads.get_latent(tree, w, cfg)
+    out = heads.get_image(tree, cfg, latent, np.asarray(label))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_avatar_audio_roundtrip():
+    from hfa_gp_tpu.models.avatar import heads
+    from hfa_gp_tpu.train import audio as audio_train
+    from tools.convert_avatar import convert_avatar_checkpoint
+
+    cfg = heads.AvatarConfig(size=64, dim_shape=8, eg3d=small_config())
+    params = audio_train.init_audio_params(jax.random.PRNGKey(0), cfg)
+
+    sd = {"bases": np.asarray(params["model"]["subspace"]["bases"]),
+          "delta": np.asarray(params["model"]["subspace"]["delta"])}
+    for j in range(7):
+        w = params["model"]["weights_mlp"][f"fc{j}"]
+        sd[f"weights_3dmm.fc.{j}.weight"] = np.asarray(w["weight"])
+        sd[f"weights_3dmm.fc.{j}.bias"] = np.asarray(w["bias"])
+    for k, v in to_torch_sd(params["model"]["generator"]).items():
+        sd[f"generator.{k}"] = v.numpy()
+
+    aud_sd = {}
+    for j, idx in enumerate((0, 2, 4, 6)):
+        c = params["audnet"][f"conv{j}"]
+        aud_sd[f"encoder_conv.{idx}.weight"] = np.ascontiguousarray(
+            np.asarray(c["weight"]).transpose(2, 1, 0))
+        aud_sd[f"encoder_conv.{idx}.bias"] = np.asarray(c["bias"])
+    for j, idx in enumerate((0, 2)):
+        c = params["audnet"][f"fc{j}"]
+        aud_sd[f"encoder_fc1.{idx}.weight"] = np.asarray(c["weight"])
+        aud_sd[f"encoder_fc1.{idx}.bias"] = np.asarray(c["bias"])
+
+    att_sd = {}
+    for j, idx in enumerate((0, 2, 4, 6, 8)):
+        c = params["audattnet"][f"conv{j}"]
+        att_sd[f"attentionConvNet.{idx}.weight"] = np.ascontiguousarray(
+            np.asarray(c["weight"]).transpose(2, 1, 0))
+        att_sd[f"attentionConvNet.{idx}.bias"] = np.asarray(c["bias"])
+    att_sd["attentionNet.0.weight"] = np.asarray(
+        params["audattnet"]["att_fc"]["weight"])
+    att_sd["attentionNet.0.bias"] = np.asarray(
+        params["audattnet"]["att_fc"]["bias"])
+
+    tree = convert_avatar_checkpoint(
+        {"gen": sd, "AudNet": aud_sd, "AudAttNet": att_sd}, "audio")
+    tree_allclose(params, tree)
