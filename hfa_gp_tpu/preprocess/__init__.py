@@ -1,1 +1,1 @@
-from . import align, bfm, pose, smoothing  # noqa: F401
+from . import align, bfm, pose, smoothing, warp  # noqa: F401

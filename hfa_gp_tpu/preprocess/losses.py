@@ -26,6 +26,16 @@ def perceptual_loss(id_featureA: jax.Array,
     return jnp.mean(1.0 - cosine)
 
 
+def perceptual_loss_from_images(recog_fn, image_a: jax.Array,
+                                image_b: jax.Array, m: jax.Array,
+                                dsize: int = 112) -> jax.Array:
+    """Full PerceptualLoss.forward (losses.py:12-34): differentiable
+    kornia-style affine crop to the ArcFace 112² frame, then 1 − cosine
+    of the frozen embedder's features. See preprocess/warp.py."""
+    from .warp import perceptual_id_loss
+    return perceptual_id_loss(recog_fn, image_a, image_b, m, dsize)
+
+
 def photo_loss(imageA: jax.Array, imageB: jax.Array,
                mask: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Masked per-pixel L2-norm (losses.py:40-52). images NHWC."""

@@ -264,3 +264,155 @@ def test_synthesis_ray_shard_parity(gen, n_data, n_model):
             p, ws_s, label_s)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=2e-5)
+
+
+def test_upsample2d_matches_reference():
+    """upsample2d (the SR/skip-path 2x) vs the torch upfirdn reference:
+    up=2, gain=factor², pad ((k+f-1)//2, (k-f)//2)."""
+    from tests.test_ops import nchw, to_nhwc, torch_upfirdn2d
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    k = __import__("hfa_gp_tpu.core.ops", fromlist=["ops"]) \
+        .make_fir_kernel([1, 3, 3, 1])
+    from hfa_gp_tpu.core import ops
+    got = ops.upsample2d(jnp.asarray(x), k)
+    want = torch_upfirdn2d(nchw(x), torch.from_numpy(k * 4.0),
+                           up=2, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mapping_truncation(gen):
+    """Truncation lerps toward w_avg (networks_stylegan2 mapping
+    semantics): psi=0 → w_avg, psi=0.5 → midpoint."""
+    from hfa_gp_tpu.models.eg3d.generator import mapping
+    cfg, params = gen
+    params = dict(params)
+    params["mapping"] = dict(params["mapping"])
+    params["mapping"]["w_avg"] = jnp.linspace(-1.0, 1.0, 512)
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 512))
+    c = camera.flip_yz_label(camera.sample_camera_label(None, n=2,
+                                                        mode=None))
+    w1 = mapping(params, cfg, z, c, truncation_psi=1.0)
+    w0 = mapping(params, cfg, z, c, truncation_psi=0.0)
+    wh = mapping(params, cfg, z, c, truncation_psi=0.5)
+    np.testing.assert_allclose(
+        np.asarray(w0), np.broadcast_to(
+            np.linspace(-1, 1, 512, dtype=np.float32),
+            (2, cfg.num_ws, 512)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wh),
+                               0.5 * (np.asarray(w0) + np.asarray(w1)),
+                               atol=1e-5)
+
+
+def test_synthesis_block_matches_torch():
+    """Full skip-architecture SynthesisBlock (conv0 up=2 → conv1 → torgb
+    with 1/sqrt(cin) weight-gain → FIR-upsampled skip add) vs a
+    clean-room torch composition — the SURVEY §7.3 risk seam."""
+    import math
+
+    from tests.test_ops import (nchw, to_nhwc, torch_modulated_conv2d,
+                                torch_upfirdn2d)
+    from hfa_gp_tpu.core import ops
+    from hfa_gp_tpu.models.eg3d import networks as nets
+
+    rng_np = np.random.default_rng(11)
+    b, h, cin, cout, w_dim, img_ch = 2, 8, 6, 5, 16, 3
+    clamp = 256.0
+    fir = [1, 3, 3, 1]
+    k = ops.make_fir_kernel(fir)
+
+    p = jax.tree_util.tree_map(
+        np.asarray,
+        nets.init_block(jax.random.PRNGKey(0), cin, cout, w_dim, 2 * h,
+                        img_ch, is_first=False))
+    # non-trivial noise + biases so every term is exercised
+    p["conv0"]["noise_strength"] = np.float32(0.7)
+    p["conv0"]["noise_const"] = rng_np.standard_normal(
+        (2 * h, 2 * h)).astype(np.float32)
+    p["conv1"]["noise_strength"] = np.float32(-0.3)
+    p["conv1"]["noise_const"] = rng_np.standard_normal(
+        (2 * h, 2 * h)).astype(np.float32)
+    p["conv0"]["bias"] = rng_np.standard_normal(cout).astype(np.float32)
+    p["conv1"]["bias"] = rng_np.standard_normal(cout).astype(np.float32)
+    p["torgb"]["bias"] = rng_np.standard_normal(img_ch).astype(np.float32)
+
+    x = rng_np.standard_normal((b, h, h, cin)).astype(np.float32)
+    img = rng_np.standard_normal((b, h, h, img_ch)).astype(np.float32)
+    ws = rng_np.standard_normal((b, 3, w_dim)).astype(np.float32)
+
+    got_x, got_img = nets.block_apply(
+        jax.tree_util.tree_map(jnp.asarray, p), jnp.asarray(x),
+        jnp.asarray(img), jnp.asarray(ws), fir=fir, conv_clamp=clamp,
+        up=True)
+
+    # ---- clean-room torch composition --------------------------------
+    def affine(a, wv):
+        return torch.from_numpy(wv) @ torch.from_numpy(a["weight"]).T \
+            / math.sqrt(a["weight"].shape[1]) + torch.from_numpy(a["bias"])
+
+    def lrelu_bias(t, bias, gain=math.sqrt(2.0)):
+        t = t + torch.from_numpy(bias).view(1, -1, 1, 1)
+        t = torch.nn.functional.leaky_relu(t, 0.2) * gain
+        return torch.clamp(t, -clamp, clamp)
+
+    # conv0: modulated conv up=2 (per-sample weights, conv_transpose+FIR)
+    s0 = affine(p["conv0"]["affine"], ws[:, 0])
+    w0 = torch.from_numpy(p["conv0"]["weight"].transpose(3, 2, 0, 1))
+    wmod = w0[None] * s0.reshape(b, 1, cin, 1, 1)
+    d = (wmod.square().sum(dim=[2, 3, 4]) + 1e-8).rsqrt()
+    ys = []
+    for bi in range(b):
+        wt = torch.flip(wmod[bi], [2, 3]).permute(1, 0, 2, 3)
+        ys.append(torch.nn.functional.conv_transpose2d(
+            nchw(x)[bi:bi + 1], wt, stride=2))
+    t = torch.cat(ys, 0)
+    t = torch_upfirdn2d(t, torch.from_numpy(k * 4.0), pad=(1, 1))
+    t = t * d.reshape(b, cout, 1, 1)
+    t = t + torch.from_numpy(p["conv0"]["noise_const"]) \
+        * float(p["conv0"]["noise_strength"])
+    t = lrelu_bias(t, p["conv0"]["bias"])
+
+    # conv1: modulated conv up=1
+    s1 = affine(p["conv1"]["affine"], ws[:, 1])
+    t = torch_modulated_conv2d(
+        t, torch.from_numpy(p["conv1"]["weight"].transpose(3, 2, 0, 1)),
+        s1)
+    t = t + torch.from_numpy(p["conv1"]["noise_const"]) \
+        * float(p["conv1"]["noise_strength"])
+    t = lrelu_bias(t, p["conv1"]["bias"])
+
+    # torgb: 1x1 non-demodulated, styles scaled by 1/sqrt(cout_of_trunk)
+    s2 = affine(p["torgb"]["affine"], ws[:, 2]) / math.sqrt(cout)
+    y = torch_modulated_conv2d(
+        t, torch.from_numpy(p["torgb"]["weight"].transpose(3, 2, 0, 1)),
+        s2, demodulate=False)
+    y = torch.clamp(y + torch.from_numpy(p["torgb"]["bias"]).view(
+        1, -1, 1, 1), -clamp, clamp)
+
+    # skip: FIR-upsample previous rgb, add
+    skip = torch_upfirdn2d(nchw(img), torch.from_numpy(k * 4.0),
+                           up=2, pad=(2, 1))
+    want_img = skip + y
+
+    np.testing.assert_allclose(np.asarray(got_x), to_nhwc(t), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_img), to_nhwc(want_img),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_bilinear_resize_matches_torch_interpolate():
+    """SR input resize vs torch F.interpolate(mode='bilinear',
+    align_corners=False[, antialias]) — the reference SR head's resize
+    (torch.nn.functional.interpolate in superresolution.py)."""
+    from tests.test_ops import nchw, to_nhwc
+    from hfa_gp_tpu.models.eg3d.networks import _bilinear_resize
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 16, 16, 4)).astype(np.float32)
+    for size, aa in ((32, True), (32, False), (64, True)):
+        got = _bilinear_resize(jnp.asarray(x), size, aa)
+        want = torch.nn.functional.interpolate(
+            nchw(x), size=(size, size), mode="bilinear",
+            align_corners=False, antialias=aa)
+        np.testing.assert_allclose(np.asarray(got), to_nhwc(want),
+                                   rtol=1e-4, atol=1e-4)

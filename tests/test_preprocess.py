@@ -162,3 +162,114 @@ def test_smooth_detection_dir(tmp_path):
     got = np.stack([np.loadtxt(d / f"{i:04d}.txt") for i in range(12)])
     want = gaussian_filter1d(seq, 2.0, axis=0)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable affine crop (preprocess/warp.py — kornia warp_affine analog)
+# ---------------------------------------------------------------------------
+
+
+def test_warp_affine_matches_kornia_semantics():
+    """warp_affine vs a clean-room torch replication of
+    kornia.geometry.warp_affine (grid_sample of M^-1-mapped pixel grid,
+    bilinear, zero padding, align_corners=True) — reference losses.py:7-10."""
+    import torch
+    import torch.nn.functional as TF
+
+    from hfa_gp_tpu.preprocess import warp
+
+    rng = np.random.default_rng(0)
+    b, h, w, c, dsize = 2, 20, 26, 3, 14
+    img = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    theta = np.deg2rad(17.0)
+    ms = []
+    for i in range(b):
+        s = 0.8 + 0.3 * i
+        a = s * np.array([[np.cos(theta), -np.sin(theta)],
+                          [np.sin(theta), np.cos(theta)]], np.float32)
+        t = np.array([2.5 - i, -1.0 + 0.5 * i], np.float32)
+        ms.append(np.concatenate([a, t[:, None]], axis=1))
+    m = np.stack(ms)
+
+    got = warp.warp_affine(jnp.asarray(img), jnp.asarray(m), dsize)
+
+    src_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    m3 = np.concatenate([m, np.tile(np.array([[[0, 0, 1]]], np.float32),
+                                    (b, 1, 1))], axis=1)
+    minv = np.linalg.inv(m3)[:, :2]
+    ys, xs = np.meshgrid(np.arange(dsize, dtype=np.float32),
+                         np.arange(dsize, dtype=np.float32), indexing="ij")
+    grid_px = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
+    src_px = np.einsum("bij,pj->bpi", minv, grid_px)
+    gx = 2 * src_px[..., 0] / (w - 1) - 1
+    gy = 2 * src_px[..., 1] / (h - 1) - 1
+    grid = torch.from_numpy(
+        np.stack([gx, gy], -1).reshape(b, dsize, dsize, 2))
+    want = TF.grid_sample(src_t, grid, mode="bilinear",
+                          padding_mode="zeros", align_corners=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_estimate_norm_aligns_canonical_points():
+    """M from estimate_norm maps the (y-flipped) landmarks onto the
+    ArcFace 112 canonical five points; exactly for a pure similarity."""
+    from hfa_gp_tpu.preprocess import warp
+
+    rng = np.random.default_rng(1)
+    h = 224
+    s, th = 1.7, np.deg2rad(-12.0)
+    r = s * np.array([[np.cos(th), -np.sin(th)],
+                      [np.sin(th), np.cos(th)]], np.float32)
+    t = np.array([40.0, 30.0], np.float32)
+    # landmarks = inverse-similarity of the canonical points, y-up coords
+    pts_raster = (warp.ARCFACE_5PTS - t) @ np.linalg.inv(r).T
+    lm_yup = np.stack([pts_raster[:, 0], h - 1 - pts_raster[:, 1]], -1)
+    m = warp.estimate_norm(jnp.asarray(lm_yup)[None], h)
+    mapped = np.einsum("ij,pj->pi", np.asarray(m)[0, :, :2], pts_raster) \
+        + np.asarray(m)[0, :, 2]
+    np.testing.assert_allclose(mapped, warp.ARCFACE_5PTS, atol=1e-3)
+
+    # 68-point input goes through extract_5p
+    lm68 = rng.uniform(20, 200, (1, 68, 2)).astype(np.float32)
+    m68 = warp.estimate_norm(jnp.asarray(lm68), h)
+    assert np.asarray(m68).shape == (1, 2, 3)
+    assert np.isfinite(np.asarray(m68)).all()
+
+
+def test_perceptual_id_loss_end_to_end_and_grads():
+    """Identical images → 0 loss; gradients flow back through the warp
+    to the input image (the training path the reference reaches via the
+    frozen ArcFace, networks.py:107-126)."""
+    import jax
+
+    from hfa_gp_tpu.preprocess import warp
+
+    def recog_fn(x):                       # stand-in frozen embedder
+        return x.reshape(x.shape[0], -1) @ jnp.ones(
+            (x.shape[1] * x.shape[2] * x.shape[3], 16))
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    m = np.array([[[1.5, 0.0, -8.0], [0.0, 1.5, -8.0]]], np.float32)
+
+    loss_same = warp.perceptual_id_loss(recog_fn, jnp.asarray(img),
+                                        jnp.asarray(img), jnp.asarray(m),
+                                        dsize=32)
+    assert float(loss_same) == pytest.approx(0.0, abs=1e-5)
+
+    def f(a):
+        return warp.perceptual_id_loss(
+            recog_fn, a, jnp.asarray(0.5 * img + 0.2), jnp.asarray(m),
+            dsize=32)
+
+    g = jax.grad(f)(jnp.asarray(img))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+    # grads also flow through M (differentiable alignment)
+    g_m = jax.grad(lambda mm: warp.perceptual_id_loss(
+        recog_fn, jnp.asarray(img), jnp.asarray(0.5 * img + 0.2), mm,
+        dsize=32))(jnp.asarray(m))
+    assert float(jnp.abs(g_m).max()) > 0
