@@ -110,6 +110,12 @@ def load_lpips(args, key=None):
     from ..models import lpips as lpips_mod
     if args.lpips_weights is not None:
         return pytree_io.load_npz(args.lpips_weights)
+    import sys
+    print("=" * 70 + "\nWARNING: no --lpips_weights — the LPIPS loss uses "
+          "RANDOM AlexNet\nfeatures (a random-projection distance, not "
+          "perceptual). Convert the\ntorch `lpips` package weights with "
+          "tools/convert_lpips.py for real runs.\n" + "=" * 70,
+          file=sys.stderr)
     return lpips_mod.init_lpips(key if key is not None
                                 else jax.random.PRNGKey(777))
 

@@ -496,3 +496,38 @@ def test_convert_avatar_audio_roundtrip():
     tree = convert_avatar_checkpoint(
         {"gen": sd, "AudNet": aud_sd, "AudAttNet": att_sd}, "audio")
     tree_allclose(params, tree)
+
+
+def test_convert_lpips_roundtrip():
+    """Synthesize an `lpips` package layout state dict (net.slice{k}.{j}
+    original-index module names, lin{i}.model.1 1x1 heads) from our init
+    tree; the converter must reproduce the tree exactly and the distance
+    must stay a valid metric (d(x,x)=0)."""
+    import jax.numpy as jnp
+
+    from hfa_gp_tpu.models import lpips as lpips_mod
+    from tools.convert_lpips import convert
+
+    params = lpips_mod.init_lpips(jax.random.PRNGKey(0))
+    slice_keys = ["net.slice1.0", "net.slice2.3", "net.slice3.6",
+                  "net.slice4.8", "net.slice5.10"]
+    sd = {}
+    for i, sk in enumerate(slice_keys):
+        w = np.asarray(params[f"conv{i}"]["weight"])
+        sd[f"{sk}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(w.transpose(3, 2, 0, 1)))
+        sd[f"{sk}.bias"] = torch.from_numpy(
+            np.asarray(params[f"conv{i}"]["bias"]))
+        lw = np.asarray(params[f"lin{i}"]["weight"])
+        sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+            lw.reshape(1, -1, 1, 1))
+    tree = convert(sd)
+    tree_allclose(params, tree)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3),
+                           minval=-1, maxval=1)
+    d_same = lpips_mod.lpips_distance(tree, x, x)
+    assert float(jnp.abs(d_same).max()) < 1e-6
+    y = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3),
+                           minval=-1, maxval=1)
+    assert float(lpips_mod.lpips_distance(tree, x, y).mean()) > 0
