@@ -46,9 +46,12 @@ def load_params(args, cfg):
         return pytree_io.load_npz(args.model_npz)
     if args.model_path is not None:
         from ..train import checkpoint as ckpt
-        from ..train.state import init_state, make_optimizer
+        from ..train.state import init_state
         params = audio_train.init_audio_params(jax.random.PRNGKey(0), cfg)
-        tx = make_optimizer(args.lr)
+        # the audio trainer checkpoints a multi_transform opt_state
+        # (train/audio.make_audio_optimizer) — the restore template's
+        # optimizer tree must match it
+        tx = audio_train.make_audio_optimizer(args.lr)
         state = ckpt.restore(args.model_path, init_state(params, tx))
         return state.params
     print("WARNING: no --model_path/--model_npz; using random init")
