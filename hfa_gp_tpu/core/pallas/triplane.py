@@ -6,31 +6,41 @@ Round-1 finding (CLAUDE.md): TPU gathers are ISSUE-bound — the XLA
 row-gather formulation (renderer.grid_sample_packed) tops out at ~54M
 rows/s and eats ~60% of synthesis time, while the MXU sits idle.
 
-This kernel re-expresses bilinear sampling as a small matmul per block:
+This kernel re-expresses bilinear sampling as small matmuls per block:
 
   * Points are blocked by (ray tile × depth window). Camera geometry
     makes each block's plane footprint tiny (tools/footprint.py: p95
-    ≤ 32–35 texels for a 16×16-ray × 4-depth block), so a (S×S) plane
-    slab DMA'd to VMEM covers every bilinear corner the block touches.
-  * For each block, a weight matrix W (P points × S·S texels) holds the
-    bilinear weights: W[p, (y,x)] = tri(y - py) · tri(x - px) with
-    tri(t) = max(0, 1 - |t|) and (py, px) the point's fractional texel
-    coords relative to the slab origin. This is EXACTLY the bilinear
-    kernel, including grid_sample's zeros padding: out-of-plane corners
-    match no slab texel and contribute 0.
-  * features = W @ slab  — one (P × S²) @ (S² × C) MXU matmul replaces
-    P issue-bound gathers.
+    ≤ 32–35 texels for a 16×16-ray × 4-depth block), so a plane slab
+    DMA'd to VMEM covers every bilinear corner the block touches.
+  * Planes are stored QUAD-PACKED: (B3, H/4, W, 4·C) with four
+    consecutive y-rows stacked into 128 channels. That fills the
+    128-lane minor dim with real data (a zero-padded (…, 32→128)
+    layout was measured DMA-bound: 4× redundant bytes at ~150 GB/s
+    effective ate ~3.5 µs/block), and makes each DMA row a contiguous
+    Sx·128·2B run.
+  * For each block, two weight matrices A/B (P × Sy/4·Sx) hold
+    one-hot(y-quad) · tri(x - px): A selects the quad containing
+    floor(py), B the quad of floor(py)+1 when different. Two MXU
+    matmuls against the slab produce x-interpolated features for all
+    4 rows of each quad; a cheap (P, 32) epilogue applies the y
+    triangle weights. This is EXACTLY bilinear with grid_sample's
+    zeros padding: out-of-plane corners match no slab texel (x) or no
+    quad row (y) and contribute 0.
+  * vs one direct (P × Sy·Sx) @ (Sy·Sx × 128) matmul, the quad split
+    halves MXU work and quarters the VPU weight-build.
 
-Weights and slab are cast to bf16 for the matmul (fp32 accumulation);
-max abs error vs the fp32 XLA path is ~1e-2 on unit-scale features —
-below the bf16 trunk noise the pipeline already runs with.
+Weights and slab are bf16 (fp32 accumulation); max abs error vs the
+fp32 XLA path is ~2e-2 on unit-scale features — below the bf16 trunk
+noise the pipeline already runs with.
 
-The slab origin per block is computed host-side (XLA prepass) from the
-block's uv bbox. Blocks whose footprint exceeds the slab (pathological
-poses, or importance-sampled depth windows that straddle a silhouette)
-lose the out-of-slab corners (they read as zeros); `plan_blocks` returns
-an `overflow` fraction so callers can measure that envelope — see
-tests/test_pallas_triplane.py and tools/bench_triplane.py.
+Slab origins are computed host-side (XLA prepass) from each block's uv
+bbox, aligned to the quad/tile grid (oy mult 4, ox mult 16 — Mosaic
+needs provably tile-aligned HBM slice offsets for bf16). Blocks whose
+footprint exceeds the slab (pathological poses, or importance-sampled
+depth windows straddling a silhouette) lose the out-of-slab corners
+(they read zeros); `plan_blocks` returns an `overflow` mask so callers
+can measure that envelope — see tests/test_pallas_triplane.py and
+tools/bench_triplane.py.
 """
 
 from __future__ import annotations
@@ -43,6 +53,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+Y_ALIGN = 4     # quad height; oy offsets are in quad units
+X_ALIGN = 16    # bf16 sublane tile of the packed-plane W dim
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +70,8 @@ class BlockPlan:
     points: int            # points per block P
     tile: int              # ray tile side T (T×T rays per block)
     depth_window: int      # depth samples per block
-    slab: int              # slab side S (S×S texels in VMEM)
+    slab_y: int            # slab height in texels (mult of 4)
+    slab_x: int            # slab width in texels (mult of 16)
     res: int               # render resolution (rays = res²)
     n_depth: int           # depth samples per ray
     plane_hw: int          # plane resolution
@@ -66,7 +80,14 @@ class BlockPlan:
 def _block_coords(texel_xy: jax.Array, plan: BlockPlan) -> jax.Array:
     """(B3, res, res, N, 2) texel coords → (NB, 2, P) blocked, where
     blocks iterate (b3, tile_y, tile_x, window) and P iterates
-    (ray_y, ray_x, depth)."""
+    (ray_y, ray_x, depth).
+
+    The kernel is fully LANE-MAJOR in P: coords are (1, P) rows, the
+    matmul emits (C, P), the output is (NB, C, P). Layouts with P on
+    sublanes were measured pathological both ways: reading (P, 1)
+    columns from a (…, P, 2) block makes the pipeline DMA row-count
+    bound (P tiny rows per block ≈ 2.6 µs), and (P,)→(P, 1) reshapes
+    force a lane→sublane relayout (~2 µs/block)."""
     b3 = texel_xy.shape[0]
     t, dw = plan.tile, plan.depth_window
     nt = plan.res // t
@@ -74,32 +95,46 @@ def _block_coords(texel_xy: jax.Array, plan: BlockPlan) -> jax.Array:
     x = texel_xy.reshape(b3, nt, t, nt, t, nw, dw, 2)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (b3, nty, ntx, nw, t, t, dw, 2)
     x = x.reshape(plan.n_blocks, plan.points, 2)
-    return x.transpose(0, 2, 1)              # (NB, 2, P)
+    return x.transpose(0, 2, 1)
 
 
 def _unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
-    """(NB, P, C) → (B3, res*res*N, C), inverting _block_coords."""
+    """(NB, C, P) → (B3, res*res*N, C), inverting _block_coords."""
     t, dw = plan.tile, plan.depth_window
     nt = plan.res // t
     nw = plan.n_depth // dw
-    c = blocked.shape[-1]
-    x = blocked.reshape(b3, nt, nt, nw, t, t, dw, c)
-    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (b3, nty, t, ntx, t, nw, dw, c)
+    c = blocked.shape[1]
+    x = blocked.reshape(b3, nt, nt, nw, c, t, t, dw)
+    # (b3, nty, t_y, ntx, t_x, nw, dw, c)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
     return x.reshape(b3, plan.res * plan.res * plan.n_depth, c)
+
+
+def quad_pack_planes(planes: jax.Array) -> jax.Array:
+    """(B, 3, H, W, C) → (B·3, H/4, W, 4C) with 4 consecutive y-rows
+    stacked into channels (the kernel's HBM layout)."""
+    b, n3, h, w, c = planes.shape
+    x = planes.reshape(b * n3, h // 4, 4, w, c)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b * n3, h // 4, w, 4 * c)
 
 
 def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
                 box_warp: float, *, res: int, n_depth: int, plane_hw: int,
-                tile: int, depth_window: int, slab: int
+                tile: int, depth_window: int,
+                slab: int | tuple[int, int]
                 ) -> tuple[BlockPlan, jax.Array, jax.Array, jax.Array]:
     """coordinates (B, M=res²·N, 3) world points → (plan, txy (NB,2,P)
-    fp32 slab-relative texel coords, origins (NB,3) int32
-    [b3, oy, ox], overflow (NB,) bool)."""
+    fp32 slab-relative texel coords, origins (NB,) packed int32
+    [b3·2²⁰ | (oy/4)·2¹⁰ | ox], overflow (NB,) bool)."""
+    sy, sx = (slab, slab) if isinstance(slab, int) else slab
+    assert sy % Y_ALIGN == 0 and sx % X_ALIGN == 0, (sy, sx)
     b = coordinates.shape[0]
     b3 = b * 3
     nb = b3 * (res // tile) ** 2 * (n_depth // depth_window)
     p = tile * tile * depth_window
-    plan = BlockPlan(nb, p, tile, depth_window, slab, res, n_depth, plane_hw)
+    plan = BlockPlan(nb, p, tile, depth_window, sy, sx, res, n_depth,
+                     plane_hw)
 
     coords = (2.0 / box_warp) * coordinates
     inv = jnp.asarray(plane_inv, jnp.float32)
@@ -108,18 +143,30 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     texel = texel.reshape(b3, res, res, n_depth, 2)
 
     txy = _block_coords(texel, plan)                       # (NB, 2, P)
-    mn = jnp.floor(jnp.min(txy, axis=-1))                  # (NB, 2) [x, y]
-    mx = jnp.ceil(jnp.max(txy, axis=-1)) + 1.0             # +1 bilinear apron
-    center = (mn + mx) / 2.0
-    org = jnp.clip(jnp.round(center - slab / 2.0), 0, plane_hw - slab)
-    org = org.astype(jnp.int32)                            # (NB, 2) [ox, oy]
-    overflow = jnp.any(mx - mn > slab, axis=-1)
+    mn = jnp.floor(jnp.min(txy, axis=2))                   # (NB, 2) [x, y]
+    mx = jnp.ceil(jnp.max(txy, axis=2)) + 1.0              # +1 bilinear apron
+    size = jnp.asarray([sx, sy], jnp.float32)
+    align = np.array([X_ALIGN, Y_ALIGN], np.int32)
+    # align the slab's left/top edge DOWN from the footprint min: the
+    # low side is always covered; the high side is covered whenever the
+    # footprint fits in slab - (align - 1)
+    org = (jnp.clip(mn, 0, None).astype(jnp.int32) // align) * align
+    hi = np.array([plane_hw - sx, plane_hw - sy], np.int32)
+    org = jnp.clip(org, 0, hi)                             # (NB, 2) [ox, oy]
+    orgf = org.astype(jnp.float32)
+    # overflow = bilinear corners INSIDE the plane that fall outside the
+    # slab (off-plane corners are zeros either way)
+    lim = float(plane_hw)
+    overflow = jnp.any((jnp.clip(mn, 0, lim) < orgf)
+                       | (jnp.clip(mx, 0, lim) > orgf + size), axis=-1)
     # clip degenerate coords (inf/nan-free guarantee for the kernel)
     txy = jnp.clip(txy, -2.0 * plane_hw, 2.0 * plane_hw)
     # make coords slab-relative here (saves SMEM→VPU broadcasts in-kernel)
-    txy = txy - org[:, :, None].astype(jnp.float32)
+    txy = txy - orgf[:, :, None]
     b3_idx = jnp.repeat(jnp.arange(b3, dtype=jnp.int32), nb // b3)
-    origins = jnp.stack([b3_idx, org[:, 1], org[:, 0]], axis=-1)  # b3, oy, ox
+    # one packed scalar-prefetch word per block ((NB, 3) in SMEM would be
+    # lane-padded to (NB, 128) and blow the 1MB SMEM budget at large NB)
+    origins = (b3_idx << 20) | ((org[:, 1] // Y_ALIGN) << 10) | org[:, 0]
     return plan, txy, origins, overflow
 
 
@@ -129,90 +176,140 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
 
 
 def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
-                    slab_ref, sem_ref, *, slab: int, channels: int):
+                    slab_ref, sem_ref, *, slab_y: int, slab_x: int,
+                    channels: int, group: int, n_blocks: int):
+    """One grid step processes `group` blocks (amortizes fixed cost);
+    slab DMAs are double-buffered one block ahead."""
     i = pl.program_id(0)
-    nb = pl.num_programs(0)
+    sy4 = slab_y // 4
+    k4 = sy4 * slab_x
 
     def dma(j, slot):
+        word = origins_ref[j]
+        oy4 = (word >> 10) & 0x3FF
+        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
         return pltpu.make_async_copy(
-            planes_ref.at[origins_ref[j, 0],
-                          pl.ds(origins_ref[j, 1], slab),
-                          pl.ds(origins_ref[j, 2], slab), :],
+            planes_ref.at[word >> 20, pl.ds(oy4, sy4), pl.ds(ox, slab_x), :],
             slab_ref.at[slot],
             sem_ref.at[slot],
         )
-
-    # double-buffered slab prefetch: block i's DMA was started at step
-    # i-1 (block 0 starts its own); kick off block i+1's before compute.
-    slot = jax.lax.rem(i, 2)
 
     @pl.when(i == 0)
     def _():
         dma(0, 0).start()
 
-    @pl.when(i + 1 < nb)
-    def _():
-        dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+    base = i * group
+    # everything below is LANE-MAJOR in P: coords (1, P), weights
+    # (K4, P), matmul output (4C, P) — no sublane relayouts anywhere
+    vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
+    xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
+          % slab_x).astype(jnp.float32)
 
-    dma(i, slot).wait()
+    def body(gi, carry):
+        j = base + gi
+        slot = jax.lax.rem(j, 2)
 
-    p = txy_ref.shape[1]
-    k = slab * slab
-    px = txy_ref[0, 0, :].reshape(p, 1)           # slab-relative fp32
-    py = txy_ref[0, 1, :].reshape(p, 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-    yr = (j // slab).astype(jnp.float32)
-    xc = (j % slab).astype(jnp.float32)
-    ty = jnp.maximum(0.0, 1.0 - jnp.abs(yr - py))
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(xc - px))
-    w = (ty * tx).astype(jnp.bfloat16)            # (P, K) bilinear weights
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            dma(j + 1, jax.lax.rem(j + 1, 2)).start()
 
-    s = slab_ref[slot].reshape(k, channels).astype(jnp.bfloat16)
-    out_ref[0, :, :] = jnp.dot(w, s, preferred_element_type=jnp.float32)
+        dma(j, slot).wait()
+
+        px = txy_ref[gi, 0:1, :]                 # (1, P) slab-relative
+        py = txy_ref[gi, 1:2, :]
+        y0 = jnp.floor(py)
+        va = jnp.floor(y0 / 4.0).astype(jnp.int32)          # quad of y0
+        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)  # quad of y0+1
+
+        # x triangle (exact bilinear in x, zeros padding beyond slab)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))        # (K4, P)
+        # fold the straddle test into vb at (1, P) cost: vb2 = -1 never
+        # matches a quad row, so wb = 0 when y0 and y0+1 share a quad
+        vb2 = jnp.where(vb != va, vb, -1)
+        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+
+        s = slab_ref[slot].reshape(k4, 4 * channels).astype(jnp.bfloat16)
+        # contract K4 on both: (K4, 4C) × (K4, P) → (4C, P)
+        dn = (((0,), (0,)), ((), ()))
+        fa = jax.lax.dot_general(s, wa, dn,
+                                 preferred_element_type=jnp.float32)
+        fb = jax.lax.dot_general(s, wb, dn,
+                                 preferred_element_type=jnp.float32)
+
+        # y triangle epilogue over the 4 rows of each quad
+        acc = jnp.zeros((channels, py.shape[1]), jnp.float32)
+        vaf = va.astype(jnp.float32) * 4.0
+        vbf = vb.astype(jnp.float32) * 4.0
+        for r in range(4):
+            tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
+            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
+            acc = acc + tya * fa[r * channels:(r + 1) * channels, :] \
+                + tyb * fb[r * channels:(r + 1) * channels, :]
+        out_ref[gi, :, :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, group, body, 0)
 
 
 def sample_blocked(plan: BlockPlan, txy: jax.Array, origins: jax.Array,
-                   planes_flat: jax.Array) -> jax.Array:
-    """txy (NB,2,P) slab-relative, origins (NB,3) int32,
-    planes_flat (B3, H, W, C) → (NB, P, C) fp32 bilinear features."""
-    b3, h, w_, c = planes_flat.shape
-    assert h == w_ == plan.plane_hw
+                   planes_quad: jax.Array, *, group: int = 8,
+                   interpret: bool = False) -> jax.Array:
+    """txy (NB,2,P) slab-relative, origins (NB,) packed int32,
+    planes_quad (B3, H/4, W, 4C) from quad_pack_planes →
+    (NB, C, P) fp32 bilinear features (lane-major in P)."""
+    b3, h4, w_, c4 = planes_quad.shape
+    assert h4 * 4 == w_ == plan.plane_hw, (planes_quad.shape, plan)
+    assert c4 % 4 == 0
+    c = c4 // 4
     nb, _, p = txy.shape
-    s = plan.slab
+    sy, sx = plan.slab_y, plan.slab_x
+
+    nb_pad = -(-nb // group) * group
+    if nb_pad != nb:
+        txy = jnp.pad(txy, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        origins = jnp.pad(origins, (0, nb_pad - nb))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, 2, p), lambda i, org: (i, 0, 0),
+            pl.BlockSpec((group, 2, p), lambda i, org: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # planes stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, p, c), lambda i, org: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, c, p), lambda i, org: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, s, s, c), planes_flat.dtype),
+            pltpu.VMEM((2, sy // 4, sx, c4), planes_quad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_sampler_kernel, slab=s, channels=c),
+        functools.partial(_sampler_kernel, slab_y=sy, slab_x=sx,
+                          channels=c, group=group, n_blocks=nb_pad),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, c, p), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * p * s * s * c,
-            bytes_accessed=nb * (p * s * s * 2 + s * s * c * 4 + p * c * 4),
+            flops=2 * nb * p * (sy // 4) * sx * c4 * 2,
+            bytes_accessed=nb * (p * (sy // 4) * sx * 2 * 2
+                                 + (sy // 4) * sx * c4 * 2 + p * c * 4),
             transcendentals=0,
         ),
-    )(origins, txy, planes_flat)
-    return out
+        interpret=interpret,
+    )(origins, txy, planes_quad)
+    return out[:nb] if nb_pad != nb else out
 
 
 def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
                                 box_warp: float, plane_inv: np.ndarray,
                                 *, res: int, n_depth: int, tile: int,
-                                depth_window: int, slab: int) -> jax.Array:
+                                depth_window: int,
+                                slab: int | tuple[int, int],
+                                dtype=jnp.bfloat16,
+                                group: int = 8,
+                                interpret: bool = False) -> jax.Array:
     """Drop-in for renderer.sample_from_planes on blocked-friendly shapes.
 
     planes (B, 3, H, W, C); coordinates (B, res²·n_depth, 3) ordered
@@ -221,7 +318,8 @@ def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
     plan, txy, origins, _ = plan_blocks(
         coordinates, plane_inv, box_warp, res=res, n_depth=n_depth,
         plane_hw=h, tile=tile, depth_window=depth_window, slab=slab)
-    planes_flat = planes.reshape(b * n_planes, h, w_, c)
-    blocked = sample_blocked(plan, txy, origins, planes_flat)
+    planes_quad = quad_pack_planes(planes.astype(dtype))
+    blocked = sample_blocked(plan, txy, origins, planes_quad,
+                             group=group, interpret=interpret)
     feats = _unblock_feats(blocked, plan, b * n_planes)
     return feats.reshape(b, n_planes, -1, c)

@@ -22,6 +22,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -57,6 +58,16 @@ class RenderConfig:
     # Inference-only: pallas_call has no VJP here — training keeps the
     # XLA formulation.
     use_pallas_marcher: bool = False
+    # Windowed MXU tri-plane sampler (core/pallas/triplane.py) — the
+    # gather-free bilinear lookup. Inference-only (no VJP); replaces
+    # the packed row-gather, which is TPU-issue-bound (CLAUDE.md).
+    use_pallas_sampler: bool = False
+    sampler_tile: int = 16              # ray tile side per block
+    sampler_depth_window: int = 4       # depth samples per block
+    sampler_slab: tuple = (40, 48)      # (Sy, Sx) coarse-pass slab
+    sampler_slab_fine: tuple = (64, 80)  # fine pass: importance depths
+    sampler_group: int = 4              # blocks per pallas grid step
+    pallas_interpret: bool = False      # interpret-mode (CPU tests)
     # MLP compute dtype for the OSG decoder (bf16 halves the biggest
     # matmuls; sigma/rgb emitted fp32).
     decoder_dtype: Any = jnp.float32
@@ -473,6 +484,11 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
                                                           spec)
 
     _, _, ph, pw, _ = planes.shape
+
+    if cfg.use_pallas_sampler:
+        return _render_core_windowed(decoder_params, cfg, planes,
+                                     ray_origins, ray_directions, rng)
+
     packed = pack_planes(planes)        # once; reused by both passes
 
     chunk = cfg.ray_chunk
@@ -503,6 +519,64 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
 
     return _render_core(decoder_params, cfg, packed, ray_origins,
                         ray_directions, rng, ph, pw)
+
+
+def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
+                          planes: jax.Array, ray_origins: jax.Array,
+                          ray_directions: jax.Array,
+                          rng: jax.Array | None):
+    """ImportanceRenderer on the windowed MXU sampler
+    (core/pallas/triplane.py) — inference-only (the Pallas call has no
+    VJP; training uses the XLA row-gather path)."""
+    from ...core.pallas import triplane as tpl
+
+    b, r, _ = ray_origins.shape
+    res = int(round(math.sqrt(r)))
+    assert res * res == r, "windowed sampler needs a square ray grid"
+    assert res % cfg.sampler_tile == 0
+    _, _, ph, pw, c = planes.shape
+    planes_quad = tpl.quad_pack_planes(planes.astype(jnp.bfloat16))
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    def eval_points(depths, slab):
+        n = depths.shape[2]
+        pts = ray_origins[:, :, None, :] \
+            + depths * ray_directions[:, :, None, :]
+        plan, txy, origins, _ = tpl.plan_blocks(
+            pts.reshape(b, -1, 3), _PLANE_INV, cfg.box_warp,
+            res=res, n_depth=n, plane_hw=ph, tile=cfg.sampler_tile,
+            depth_window=cfg.sampler_depth_window, slab=slab)
+        blocked = tpl.sample_blocked(plan, txy, origins, planes_quad,
+                                     group=cfg.sampler_group,
+                                     interpret=cfg.pallas_interpret)
+        feats = tpl._unblock_feats(blocked, plan, b * 3)
+        feats = feats.reshape(b, 3, -1, c)
+        rgb, sigma = decoder_apply(decoder_params, cfg, feats)
+        return (rgb.reshape(b, r, n, -1), sigma.reshape(b, r, n, 1))
+
+    marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
+
+    depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
+                                      cfg.ray_end, cfg.depth_resolution,
+                                      rng=rngs[0])
+    colors_c, densities_c = eval_points(depths_coarse, cfg.sampler_slab)
+
+    n_fine = cfg.depth_resolution_importance
+    if n_fine > 0:
+        _, _, weights = marcher(colors_c, densities_c, depths_coarse)
+        depths_fine = sample_importance(depths_coarse, weights, n_fine,
+                                        rng=rngs[1])
+        colors_f, densities_f = eval_points(depths_fine,
+                                            cfg.sampler_slab_fine)
+        depths, colors, densities = unify_samples(
+            depths_coarse, colors_c, densities_c,
+            depths_fine, colors_f, densities_f)
+        rgb_final, depth_final, weights = marcher(colors, densities,
+                                                  depths)
+    else:
+        rgb_final, depth_final, weights = marcher(colors_c, densities_c,
+                                                  depths_coarse)
+    return rgb_final, depth_final, jnp.sum(weights, axis=2)
 
 
 def _render_core(decoder_params: Params, cfg: RenderConfig,

@@ -416,3 +416,26 @@ def test_bilinear_resize_matches_torch_interpolate():
             align_corners=False, antialias=aa)
         np.testing.assert_allclose(np.asarray(got), to_nhwc(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_synthesis_windowed_sampler_parity(gen):
+    """The Pallas windowed MXU sampler (use_pallas_sampler) must match
+    the XLA row-gather render to bf16 tolerance (interpret mode here;
+    the TPU speed run lives in tools/bench_triplane.py)."""
+    import dataclasses
+    cfg, params = gen
+    ws = jax.random.normal(jax.random.PRNGKey(11), (1, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+    ref = synthesis(params, cfg, ws, label)
+    cfg_p = dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, use_pallas_sampler=True, pallas_interpret=True,
+            sampler_tile=4, sampler_depth_window=4,
+            sampler_slab=(32, 32), sampler_slab_fine=(32, 32),
+            sampler_group=8))
+    got = synthesis(params, cfg_p, ws, label)
+    np.testing.assert_allclose(np.asarray(got["image_raw"]),
+                               np.asarray(ref["image_raw"]), atol=4e-2)
+    np.testing.assert_allclose(np.asarray(got["image"]),
+                               np.asarray(ref["image"]), atol=6e-2)

@@ -1,0 +1,90 @@
+"""Parity tests for the windowed MXU tri-plane sampler
+(core/pallas/triplane.py) against the XLA grid_sample path.
+
+Runs the kernel in Pallas interpret mode on the CPU test mesh; the TPU
+compile + speed measurement lives in tools/bench_triplane.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hfa_gp_tpu.core.pallas import triplane as tp
+from hfa_gp_tpu.models.eg3d import renderer as rnd
+
+
+def _ray_grid_coords(key, res, n_depth, spread=0.25, b=1):
+    """Synthetic but geometry-shaped coordinates: a tile-coherent bundle
+    of rays through the unit box (so block footprints are small, like
+    the real camera geometry)."""
+    korg, kdir = jax.random.split(key)
+    origin = jnp.array([0.0, 0.0, -2.7]) + \
+        0.05 * jax.random.normal(korg, (b, 1, 3))
+    i = (jnp.arange(res) + 0.5) / res - 0.5
+    yy, xx = jnp.meshgrid(i, i, indexing="ij")
+    dirs = jnp.stack([xx * spread, yy * spread, jnp.ones_like(xx)], -1)
+    dirs = dirs.reshape(1, -1, 3) / jnp.linalg.norm(
+        dirs.reshape(1, -1, 3), axis=-1, keepdims=True)
+    depths = jnp.linspace(2.25, 3.3, n_depth)
+    pts = origin[:, :, None, :] + \
+        depths[None, None, :, None] * dirs[:, :, None, :]
+    return pts.reshape(b, -1, 3)  # (B, res²·N, 3) ordered (ray, depth)
+
+
+@pytest.mark.parametrize("tile,dw,slab", [(8, 4, 48), (16, 4, 48),
+                                          (8, 4, (40, 48))])
+def test_windowed_sampler_matches_grid_sample(tile, dw, slab):
+    res, n_depth, hw, c = 32, 8, 64, 32
+    b = 2
+    key = jax.random.PRNGKey(0)
+    kp, kc = jax.random.split(key)
+    planes = jax.random.normal(kp, (b, 3, hw, hw, c), jnp.float32)
+    coords = _ray_grid_coords(kc, res, n_depth, b=b)
+
+    ref = rnd.sample_from_planes(planes, coords, box_warp=1.0)
+
+    plan, _, _, overflow = tp.plan_blocks(
+        coords, rnd._PLANE_INV, 1.0, res=res, n_depth=n_depth,
+        plane_hw=hw, tile=tile, depth_window=dw, slab=slab)
+    assert not bool(jnp.any(overflow)), "footprints must fit the slab"
+
+    got = tp.sample_from_planes_windowed(
+        planes, coords, 1.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+        tile=tile, depth_window=dw, slab=slab, interpret=True)
+
+    # bf16 matmul: tolerance set by the 8-bit weight mantissa
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=4e-2, rtol=0)
+    # and the values are not trivially zero
+    assert float(jnp.mean(jnp.abs(ref))) > 0.1
+
+
+def test_windowed_sampler_zero_padding_semantics():
+    """Points whose bilinear corners fall outside the plane must read
+    zeros for those corners (grid_sample padding_mode='zeros')."""
+    res, n_depth, hw, c = 8, 4, 64, 32
+    key = jax.random.PRNGKey(1)
+    planes = jax.random.normal(key, (1, 3, hw, hw, c), jnp.float32)
+    # rays that exit the box: scale coords to ±1.3 of the box
+    coords = _ray_grid_coords(jax.random.PRNGKey(2), res, n_depth)
+    coords = coords * 1.4
+    ref = rnd.sample_from_planes(planes, coords, box_warp=1.0)
+    got = tp.sample_from_planes_windowed(
+        planes, coords, 1.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+        tile=4, depth_window=2, slab=48, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=4e-2, rtol=0)
+
+
+def test_plan_blocks_overflow_flag():
+    """Blocks with a footprint wider than the slab are flagged."""
+    res, n_depth, hw = 4, 2, 256
+    # random (incoherent) points spread across the whole plane
+    coords = jax.random.uniform(jax.random.PRNGKey(3),
+                                (1, res * res * n_depth, 3),
+                                minval=-0.5, maxval=0.5)
+    _, _, _, overflow = tp.plan_blocks(
+        coords, rnd._PLANE_INV, 1.0, res=res, n_depth=n_depth,
+        plane_hw=hw, tile=4, depth_window=2, slab=16)
+    assert bool(jnp.any(overflow))
