@@ -521,13 +521,38 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
                         ray_directions, rng, ph, pw)
 
 
+def decoder_apply_cp(params: Params, cfg: RenderConfig,
+                     x: jax.Array) -> jax.Array:
+    """OSGDecoder on channels-FIRST features: (..., C, P) plane-averaged
+    features → (..., 33, P) [sigma; raw rgb logits pre-squash]. Same
+    math as decoder_apply, laid out for the windowed sampler's blocked
+    tensors (avoids a huge (…, 32)-minor transpose — XLA pads those
+    copies 4× on lanes)."""
+    import math as _math
+
+    def fc(h, w, bias, act):
+        out_dim, in_dim = w.shape
+        gain = cfg.decoder_lr_mul / _math.sqrt(in_dim)
+        wg = (w * gain).astype(h.dtype)
+        y = jnp.einsum("oc,...cp->...op", wg, h)
+        y = y + (bias * cfg.decoder_lr_mul).astype(y.dtype)[..., :, None]
+        return jax.nn.softplus(y) if act else y
+
+    x = x.astype(cfg.decoder_dtype)
+    h = fc(x, params["fc0"]["weight"], params["fc0"]["bias"], act=True)
+    y = fc(h, params["fc1"]["weight"], params["fc1"]["bias"], act=False)
+    return y.astype(jnp.float32)
+
+
 def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
                           planes: jax.Array, ray_origins: jax.Array,
                           ray_directions: jax.Array,
                           rng: jax.Array | None):
     """ImportanceRenderer on the windowed MXU sampler
     (core/pallas/triplane.py) — inference-only (the Pallas call has no
-    VJP; training uses the XLA row-gather path)."""
+    VJP; training uses the XLA row-gather path). The plane mean and the
+    OSG decoder run in BLOCKED (…, C, P) layout so only the 33-channel
+    decoder output is unblocked back to ray order."""
     from ...core.pallas import triplane as tpl
 
     b, r, _ = ray_origins.shape
@@ -549,10 +574,15 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         blocked = tpl.sample_blocked(plan, txy, origins, planes_quad,
                                      group=cfg.sampler_group,
                                      interpret=cfg.pallas_interpret)
-        feats = tpl._unblock_feats(blocked, plan, b * 3)
-        feats = feats.reshape(b, 3, -1, c)
-        rgb, sigma = decoder_apply(decoder_params, cfg, feats)
-        return (rgb.reshape(b, r, n, -1), sigma.reshape(b, r, n, 1))
+        nbp = plan.n_blocks // (b * 3)
+        feats = blocked.reshape(b, 3, nbp, c, plan.points).mean(axis=1)
+        y = decoder_apply_cp(decoder_params, cfg, feats)  # (b,nbp,33,P)
+        y = tpl._unblock_feats(y.reshape(b * nbp, -1, plan.points),
+                               plan, b)                   # (b, R·N, 33)
+        y = y.reshape(b, r, n, -1)
+        sigma = y[..., 0:1]
+        rgb = jax.nn.sigmoid(y[..., 1:]) * (1 + 2 * 0.001) - 0.001
+        return rgb, sigma
 
     marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
 

@@ -13,7 +13,8 @@ from hfa_gp_tpu.core import camera
 from hfa_gp_tpu.models.eg3d.generator import (EG3DConfig, init_generator,
                                               synthesis)
 
-B = 4
+import os
+B = int(os.environ.get('B', 4))
 
 
 def timeit(name, fn, *args, iters=5):
@@ -40,7 +41,8 @@ def run(name, cfg):
 
 def main():
     base = EG3DConfig(compute_dtype=jnp.bfloat16)
-    run("xla row-gather        ", base)
+    if B <= 4:
+        run("xla row-gather        ", base)
     for grp, dec_dt, name in [
             (4, jnp.float32, "pallas windowed g4    "),
             (4, jnp.bfloat16, "pallas windowed g4 bf16dec"),
