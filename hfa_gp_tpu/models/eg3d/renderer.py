@@ -318,20 +318,23 @@ def sample_pdf(bins: jax.Array, weights: jax.Array, n_importance: int,
     else:
         u = jax.random.uniform(rng, (n_rays, n_importance))
 
-    # searchsorted(cdf, u, right) == #cdf entries <= u
-    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_w)
-
-    # stack (cdf, bins) so each index gathers one 2-vector ROW — avoids
-    # take_along_axis's per-element gather lowering on TPU
+    # searchsorted + gather, TPU-style: one broadcast compare matrix and
+    # four masked REDUCTIONS over it. cdf and bins are both monotone
+    # nondecreasing, so cdf[inds-1] == max{cdf[k] : cdf[k] <= u} etc. —
+    # no gathers at all (a row-gather formulation here cost ~90 ms/pass:
+    # 6M 8-byte rows are issue-bound on TPU).
     bins_pad = bins[:, :n_w + 1]
-    stacked = jnp.stack([cdf, bins_pad], axis=-1)     # (N, n_w+1, 2)
-    row = jax.vmap(lambda s, i: s[i])
-    lo = row(stacked, below)                          # (N, n_imp, 2)
-    hi = row(stacked, above)
-    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
-    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
+    le = cdf[:, None, :] <= u[:, :, None]             # (N, n_imp, n_w+1)
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], le.shape)
+    bin_b = jnp.broadcast_to(bins_pad[:, None, :], le.shape)
+    # below: mask never empty (cdf[0] = 0 <= u)
+    cdf_lo = jnp.max(jnp.where(le, cdf_b, -1.0), axis=-1)
+    bin_lo = jnp.max(jnp.where(le, bin_b, -jnp.inf), axis=-1)
+    # above: fill with the LAST entry — it's >= every candidate, so it
+    # only wins when the mask is empty (u == cdf[-1]), matching the
+    # clamped index `min(inds, n_w)`
+    cdf_hi = jnp.min(jnp.where(le, cdf_b[..., -1:], cdf_b), axis=-1)
+    bin_hi = jnp.min(jnp.where(le, bin_b[..., -1:], bin_b), axis=-1)
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
     return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)
@@ -431,15 +434,39 @@ def _permute_rows_bwd(perm, g):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
-def unify_samples(d1, c1, s1, d2, c2, s2):
-    """Depth-sort-merge of coarse+fine samples along the sample axis."""
+def unify_samples(d1, c1, s1, d2, c2, s2, *, sorted_inputs: bool = False):
+    """Depth-sort-merge of coarse+fine samples along the sample axis.
+
+    sorted_inputs=True (deterministic inference: stratified depths and
+    linspace-u importance depths are both monotone per ray) switches to
+    a closed-form rank merge: ranks come from one broadcast compare per
+    list and the permutation applies as a batched one-hot matmul on the
+    MXU — no lax.sort (which pays the key comparisons once per feature
+    column, ~110 ms/frame at batch 4)."""
     depths = jnp.concatenate([d1, d2], axis=-2)
     colors = jnp.concatenate([c1, c2], axis=-2)
     sigmas = jnp.concatenate([s1, s2], axis=-2)
     feats = jnp.concatenate([depths, colors, sigmas], axis=-1)  # (B,R,N,F)
-    keys = jax.lax.stop_gradient(depths[..., 0])
-    feats_sorted = _permute_rows(feats, keys)
     c = colors.shape[-1]
+
+    if sorted_inputs:
+        k1 = jax.lax.stop_gradient(d1[..., 0])          # (B, R, N1)
+        k2 = jax.lax.stop_gradient(d2[..., 0])
+        # stable-merge ranks (list 1 wins ties, like a stable sort of
+        # the concatenation)
+        r1 = jnp.cumsum(jnp.ones_like(k1, jnp.int32), axis=-1) - 1 \
+            + jnp.sum(k2[..., None, :] < k1[..., :, None], axis=-1)
+        r2 = jnp.cumsum(jnp.ones_like(k2, jnp.int32), axis=-1) - 1 \
+            + jnp.sum(k1[..., None, :] <= k2[..., :, None], axis=-1)
+        rank = jnp.concatenate([r1, r2], axis=-1)       # (B, R, N)
+        n = rank.shape[-1]
+        dst = jnp.arange(n, dtype=jnp.int32)
+        onehot = (rank[..., None, :] == dst[:, None]).astype(feats.dtype)
+        feats_sorted = jnp.einsum("brks,brsf->brkf", onehot, feats)
+    else:
+        keys = jax.lax.stop_gradient(depths[..., 0])
+        feats_sorted = _permute_rows(feats, keys)
+
     return (feats_sorted[..., :1], feats_sorted[..., 1:1 + c],
             feats_sorted[..., 1 + c:])
 
@@ -600,7 +627,8 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
                                             cfg.sampler_slab_fine)
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
-            depths_fine, colors_f, densities_f)
+            depths_fine, colors_f, densities_f,
+            sorted_inputs=rng is None)
         rgb_final, depth_final, weights = marcher(colors, densities,
                                                   depths)
     else:
@@ -650,7 +678,8 @@ def _render_core(decoder_params: Params, cfg: RenderConfig,
         colors_f, densities_f = eval_points(depths_fine)
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
-            depths_fine, colors_f, densities_f)
+            depths_fine, colors_f, densities_f,
+            sorted_inputs=rng is None)
         rgb_final, depth_final, weights = marcher(colors, densities,
                                                   depths)
     else:

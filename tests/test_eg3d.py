@@ -439,3 +439,24 @@ def test_synthesis_windowed_sampler_parity(gen):
                                np.asarray(ref["image_raw"]), atol=4e-2)
     np.testing.assert_allclose(np.asarray(got["image"]),
                                np.asarray(ref["image"]), atol=6e-2)
+
+
+def test_unify_samples_rank_merge_matches_sort():
+    """The sorted-inputs rank merge must equal the lax.sort merge,
+    including stable tie handling."""
+    key = jax.random.PRNGKey(5)
+    b, r, n1, n2, c = 2, 7, 9, 11, 4
+    d1 = jnp.sort(jax.random.randint(key, (b, r, n1, 1), 0, 12)
+                  .astype(jnp.float32), axis=2)
+    d2 = jnp.sort(jax.random.randint(jax.random.PRNGKey(6),
+                                     (b, r, n2, 1), 0, 12)
+                  .astype(jnp.float32), axis=2)
+    c1 = jax.random.normal(key, (b, r, n1, c))
+    c2 = jax.random.normal(key, (b, r, n2, c))
+    s1 = jax.random.normal(key, (b, r, n1, 1))
+    s2 = jax.random.normal(key, (b, r, n2, 1))
+    want = rnd.unify_samples(d1, c1, s1, d2, c2, s2)
+    got = rnd.unify_samples(d1, c1, s1, d2, c2, s2, sorted_inputs=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6)
