@@ -32,12 +32,15 @@ def main() -> None:
     dt = jnp.bfloat16 if on_accel else jnp.float32
     import os
     batch = int(os.environ.get("BENCH_BATCH", 8 if on_accel else 1))
-    # chunk rays for batches beyond the per-chip whole-image envelope
-    chunk = 4096 if batch > 4 else None
+    # accelerator: the windowed MXU tri-plane sampler (gather-free,
+    # core/pallas/triplane.py). CPU fallback: XLA row-gathers + ray
+    # chunking (the Pallas kernel would need interpret mode there).
+    rcfg = RenderConfig(decoder_dtype=dt, use_pallas_sampler=True,
+                        sampler_group=8) if on_accel else \
+        RenderConfig(decoder_dtype=dt,
+                     ray_chunk=4096 if batch > 4 else None)
     cfg = heads.AvatarConfig(
-        eg3d=EG3DConfig(compute_dtype=dt,
-                        render=RenderConfig(decoder_dtype=dt,
-                                            ray_chunk=chunk)))
+        eg3d=EG3DConfig(compute_dtype=dt, render=rcfg))
 
     params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
     image = jax.random.uniform(jax.random.PRNGKey(1),
