@@ -63,6 +63,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="mesh model-axis size (ray sharding)")
     p.add_argument("--pallas_marcher", action="store_true", default=False,
                    help="fused Pallas compositing kernel (inference)")
+    p.add_argument("--pallas_sampler", action="store_true", default=None,
+                   help="windowed MXU tri-plane sampler (inference; "
+                        "default: on when a TPU is attached)")
+    p.add_argument("--no_pallas_sampler", dest="pallas_sampler",
+                   action="store_false",
+                   help="force the XLA row-gather sampler")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace into this dir")
 
@@ -71,9 +77,17 @@ def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
     from ..models.eg3d import networks as nets
     from ..models.eg3d import renderer as rnd
     from ..parallel import mesh as mesh_mod
+    # the windowed sampler only accelerates inference (no VJP) — the
+    # reenact CLIs flip it on via inference=True; --pallas_sampler /
+    # --no_pallas_sampler override
+    sampler = getattr(args, "pallas_sampler", None)
+    if sampler is None:
+        sampler = (getattr(args, "_inference", False)
+                   and jax.devices()[0].platform != "cpu")
     render = rnd.RenderConfig(
         ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None,
         use_pallas_marcher=getattr(args, "pallas_marcher", False),
+        use_pallas_sampler=bool(sampler),
         decoder_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     eg3d = EG3DConfig(
         render=render,
