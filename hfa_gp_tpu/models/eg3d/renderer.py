@@ -67,6 +67,22 @@ class RenderConfig:
     sampler_slab: tuple = (40, 48)      # (Sy, Sx) coarse-pass slab
     sampler_slab_fine: tuple = (64, 80)  # fine pass: importance depths
     sampler_group: int = 4              # blocks per pallas grid step
+    # Fine-pass mode:
+    #  "stratified" (default): windowed stratified importance sampling
+    #    (sample_importance_windowed) — n_per fine samples per static
+    #    depth window, at within-window CDF quantiles. Exact bilinear,
+    #    coarse-tight footprints, full Pallas speed; sample PLACEMENT
+    #    differs from the reference's global quantiles (same target
+    #    distribution, stratified quadrature).
+    #  "xla": the reference's global-quantile placement with exact
+    #    row-gathers (slow: fine index-windows can span the whole
+    #    frustum — the reference's +0.01 CDF floor scatters ~10% of
+    #    fine samples uniformly in depth).
+    #  "pallas": reference placement through the windowed kernel —
+    #    exact for diffuse densities, approximate (zeros for
+    #    out-of-slab corners) on sharp surfaces
+    #    (tools/overflow_envelope.py).
+    sampler_fine: str = "stratified"
     pallas_interpret: bool = False      # interpret-mode (CPU tests)
     # MLP compute dtype for the OSG decoder (bf16 halves the biggest
     # matmuls; sigma/rgb emitted fp32).
@@ -299,7 +315,8 @@ def _smooth_weights(weights: jax.Array) -> jax.Array:
 
 def sample_pdf(bins: jax.Array, weights: jax.Array, n_importance: int,
                rng: jax.Array | None = None,
-               eps: float = 1e-5) -> jax.Array:
+               eps: float = 1e-5,
+               u: jax.Array | None = None) -> jax.Array:
     """Inverse-CDF sampling. bins: (N, B); weights: (N, B-?) as in EG3D
     (weights may be shorter than bins-1 after trimming; the CDF simply
     spans the first len(weights)+1 bins). Returns (N, n_importance).
@@ -312,11 +329,12 @@ def sample_pdf(bins: jax.Array, weights: jax.Array, n_importance: int,
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
 
-    if rng is None:
-        u = jnp.linspace(0.0, 1.0, n_importance)
-        u = jnp.broadcast_to(u[None], (n_rays, n_importance))
-    else:
-        u = jax.random.uniform(rng, (n_rays, n_importance))
+    if u is None:
+        if rng is None:
+            u = jnp.linspace(0.0, 1.0, n_importance)
+            u = jnp.broadcast_to(u[None], (n_rays, n_importance))
+        else:
+            u = jax.random.uniform(rng, (n_rays, n_importance))
 
     # searchsorted + gather, TPU-style: one broadcast compare matrix and
     # four masked REDUCTIONS over it. cdf and bins are both monotone
@@ -353,6 +371,75 @@ def sample_importance(z_vals: jax.Array, weights: jax.Array,
     fine = sample_pdf(z_mid, w[:, 1:-1], n_importance, rng=rng)
     fine = jax.lax.stop_gradient(fine)
     return fine.reshape(b, r, n_importance, 1)
+
+
+def _eval_cdf(bins: jax.Array, cdf: jax.Array, x: jax.Array,
+              eps: float = 1e-5) -> jax.Array:
+    """Piecewise-linear CDF F(x): bins (N, K) nondecreasing, cdf (N, K)
+    on those bins, x (N, Q) query depths → (N, Q). The exact forward map
+    of sample_pdf's inverse, via the same masked reductions."""
+    le = bins[:, None, :] <= x[:, :, None]            # (N, Q, K)
+    bin_b = jnp.broadcast_to(bins[:, None, :], le.shape)
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], le.shape)
+    # below: fill with FIRST entry (wins only when x < bins[0] → F=cdf[0])
+    bin_lo = jnp.max(jnp.where(le, bin_b, bin_b[..., :1]), axis=-1)
+    cdf_lo = jnp.max(jnp.where(le, cdf_b, cdf_b[..., :1]), axis=-1)
+    # above: fill with LAST entry (wins only when x >= bins[-1] → F=cdf[-1])
+    bin_hi = jnp.min(jnp.where(le, bin_b[..., -1:], bin_b), axis=-1)
+    cdf_hi = jnp.min(jnp.where(le, cdf_b[..., -1:], cdf_b), axis=-1)
+    denom = jnp.where(bin_hi - bin_lo < eps, 1.0, bin_hi - bin_lo)
+    t = jnp.clip((x - bin_lo) / denom, 0.0, 1.0)
+    return cdf_lo + t * (cdf_hi - cdf_lo)
+
+
+def sample_importance_windowed(z_vals: jax.Array, weights: jax.Array,
+                               n_windows: int, n_per: int,
+                               ray_start: float, ray_end: float,
+                               rng: jax.Array | None = None
+                               ) -> jax.Array:
+    """Windowed stratified importance sampling — the TPU-native fine
+    placement policy for the windowed sampler (`sampler_fine=
+    "stratified"`).
+
+    The reference places all n_importance samples at GLOBAL quantiles of
+    the smoothed coarse CDF; its +0.01 pdf floor then scatters a tail of
+    samples across the whole frustum, so consecutive-index groups can
+    span arbitrary depth ranges (tools/overflow_envelope.py) — bad for
+    windowed gathering. Here each of the n_windows static depth windows
+    gets exactly n_per samples, placed at CDF quantiles WITHIN that
+    window: samples land inside their window by construction (the
+    smoothing floor keeps the CDF strictly increasing, so the
+    piecewise-linear inverse stays in-segment), footprints stay as
+    tight as the coarse pass, and the bilinear lookups remain exact.
+    Same target distribution, stratified quadrature."""
+    b, r, n, _ = z_vals.shape
+    nr = b * r
+    z = z_vals.reshape(nr, n)
+    w = _smooth_weights(weights.reshape(nr, -1))[:, 1:-1]
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+
+    eps = 1e-5
+    ww = w + eps
+    pdf = ww / jnp.sum(ww, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+    bins = z_mid[:, :cdf.shape[1]]
+
+    edges = jnp.linspace(ray_start, ray_end, n_windows + 1)
+    edges = jnp.broadcast_to(edges[None], (nr, n_windows + 1))
+    f_edges = _eval_cdf(bins, cdf, edges)             # (NR, W+1)
+    f_lo = f_edges[:, :-1, None]                      # (NR, W, 1)
+    f_hi = f_edges[:, 1:, None]
+    if rng is None:
+        frac = (jnp.arange(n_per) + 0.5) / n_per      # midpoint strata
+        frac = frac[None, None, :]
+    else:
+        frac = (jnp.arange(n_per)[None, None, :]
+                + jax.random.uniform(rng, (nr, n_windows, n_per))) / n_per
+    u = (f_lo + frac * (f_hi - f_lo)).reshape(nr, n_windows * n_per)
+    fine = sample_pdf(bins, w, n_windows * n_per, u=u)
+    fine = jax.lax.stop_gradient(fine)
+    return fine.reshape(b, r, n_windows * n_per, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +698,34 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         rgb = jax.nn.sigmoid(y[..., 1:]) * (1 + 2 * 0.001) - 0.001
         return rgb, sigma
 
+    def eval_points_xla(depths):
+        """Exact packed row-gather fallback (fine pass default).
+
+        Ray-chunked via lax.map: the (B, 3, M, 4C) gather temporaries
+        pad 4x on lanes and OOM HBM at batch 8 if materialized whole.
+        bf16 rows: measured same gather speed (issue-bound), half HBM."""
+        n = depths.shape[2]
+        packed = pack_planes(planes.astype(jnp.bfloat16))
+        chunk = min(4096, r)
+        nch = r // chunk
+        ro_c = jnp.swapaxes(ray_origins.reshape(b, nch, chunk, 3), 0, 1)
+        rd_c = jnp.swapaxes(ray_directions.reshape(b, nch, chunk, 3),
+                            0, 1)
+        d_c = jnp.swapaxes(depths.reshape(b, nch, chunk, n, 1), 0, 1)
+
+        def one(args):
+            o, d_dir, dep = args
+            pts = o[:, :, None, :] + dep * d_dir[:, :, None, :]
+            rgb, sigma = run_model_packed(decoder_params, cfg, packed,
+                                          pts.reshape(b, -1, 3), b, ph,
+                                          pw)
+            return (rgb.reshape(b, chunk, n, -1),
+                    sigma.reshape(b, chunk, n, 1))
+
+        rgb, sigma = jax.lax.map(one, (ro_c, rd_c, d_c))
+        swap = lambda x: jnp.swapaxes(x, 0, 1).reshape(b, r, n, -1)
+        return swap(rgb), swap(sigma)
+
     marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
 
     depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
@@ -621,10 +736,25 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
     n_fine = cfg.depth_resolution_importance
     if n_fine > 0:
         _, _, weights = marcher(colors_c, densities_c, depths_coarse)
-        depths_fine = sample_importance(depths_coarse, weights, n_fine,
-                                        rng=rngs[1])
-        colors_f, densities_f = eval_points(depths_fine,
-                                            cfg.sampler_slab_fine)
+        if cfg.sampler_fine == "stratified":
+            depths_fine = sample_importance_windowed(
+                depths_coarse, weights,
+                n_windows=n_fine // cfg.sampler_depth_window,
+                n_per=cfg.sampler_depth_window,
+                ray_start=cfg.ray_start, ray_end=cfg.ray_end,
+                rng=rngs[1])
+            # samples sit inside their static depth window → coarse-pass
+            # footprints; exact bilinear, full Pallas speed
+            colors_f, densities_f = eval_points(depths_fine,
+                                                cfg.sampler_slab)
+        else:
+            depths_fine = sample_importance(depths_coarse, weights,
+                                            n_fine, rng=rngs[1])
+            if cfg.sampler_fine == "pallas":
+                colors_f, densities_f = eval_points(depths_fine,
+                                                    cfg.sampler_slab_fine)
+            else:
+                colors_f, densities_f = eval_points_xla(depths_fine)
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
             depths_fine, colors_f, densities_f,

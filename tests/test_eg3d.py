@@ -433,7 +433,9 @@ def test_synthesis_windowed_sampler_parity(gen):
             cfg.render, use_pallas_sampler=True, pallas_interpret=True,
             sampler_tile=4, sampler_depth_window=4,
             sampler_slab=(32, 32), sampler_slab_fine=(32, 32),
-            sampler_group=8))
+            # pin the reference sample placement: this test isolates
+            # KERNEL parity (stratified placement has its own test)
+            sampler_fine="pallas", sampler_group=8))
     got = synthesis(params, cfg_p, ws, label)
     np.testing.assert_allclose(np.asarray(got["image_raw"]),
                                np.asarray(ref["image_raw"]), atol=4e-2)
@@ -460,3 +462,61 @@ def test_unify_samples_rank_merge_matches_sort():
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-6)
+
+
+def test_windowed_stratified_importance_in_window():
+    """sample_importance_windowed must place every fine sample inside
+    its static depth window, for sharp, bimodal, and uniform densities
+    (this is the property that keeps the Pallas fine-pass footprints
+    coarse-tight and the bilinear exact)."""
+    key = jax.random.PRNGKey(0)
+    b, r, n = 2, 64, 48
+    z = rnd.sample_stratified(jnp.zeros((b, r, 3)), 2.25, 3.3, n)
+    nw, np_per = 12, 4
+    edges = np.linspace(2.25, 3.3, nw + 1)
+    for name, w in {
+        "sharp": jnp.exp(-((z[..., :-1, :] - 2.7) ** 2) / (2 * 0.02 ** 2)),
+        "bimodal": (jnp.exp(-((z[..., :-1, :] - 2.4) ** 2) / 8e-4)
+                    + jnp.exp(-((z[..., :-1, :] - 3.2) ** 2) / 8e-4)),
+        "uniform": jnp.ones_like(z[..., :-1, :]),
+        "random": jax.random.uniform(key, z[..., :-1, :].shape),
+    }.items():
+        fine = rnd.sample_importance_windowed(z, w, nw, np_per, 2.25, 3.3)
+        f = np.asarray(fine).reshape(b, r, nw, np_per)
+        for wi in range(nw):
+            lo, hi = edges[wi] - 1e-4, edges[wi + 1] + 1e-4
+            assert (f[:, :, wi] >= lo).all() and (f[:, :, wi] <= hi).all(), \
+                (name, wi, f[:, :, wi].min(), f[:, :, wi].max())
+        # monotone per ray (the rank merge relies on it)
+        flat = np.asarray(fine)[..., 0]
+        assert (np.diff(flat, axis=-1) >= -1e-5).all(), name
+    # distribution sanity: with a sharp bump most samples concentrate
+    # near it (within-window quantiles still follow the CDF)
+    w = jnp.exp(-((z[..., :-1, :] - 2.7) ** 2) / (2 * 0.05 ** 2))
+    fine = np.asarray(rnd.sample_importance_windowed(z, w, nw, np_per,
+                                                     2.25, 3.3))
+    near = (np.abs(fine - 2.7) < 0.15).mean()
+    assert near > 0.25, near
+
+
+def test_synthesis_stratified_close_to_reference_placement():
+    """The stratified fine placement renders the same field with a
+    different quadrature — images must stay close to the
+    reference-placement render."""
+    import dataclasses
+    cfg = small_config()
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    ws = jax.random.normal(jax.random.PRNGKey(12), (1, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+    ref = synthesis(params, cfg, ws, label)["image_raw"]
+    cfg_s = dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, use_pallas_sampler=True, pallas_interpret=True,
+            sampler_tile=4, sampler_depth_window=4,
+            sampler_slab=(32, 32), sampler_slab_fine=(32, 32),
+            sampler_fine="stratified", sampler_group=8))
+    got = synthesis(params, cfg_s, ws, label)["image_raw"]
+    err = float(jnp.mean(jnp.abs(got - ref)))
+    psnr = -10 * np.log10(float(jnp.mean((got - ref) ** 2)) / 4 + 1e-12)
+    assert psnr > 28.0, (psnr, err)

@@ -43,13 +43,12 @@ def main():
     base = EG3DConfig(compute_dtype=jnp.bfloat16)
     if B <= 4:
         run("xla row-gather        ", base)
-    for grp, dec_dt, name in [
-            (4, jnp.float32, "pallas windowed g4    "),
-            (4, jnp.bfloat16, "pallas windowed g4 bf16dec"),
-            (8, jnp.bfloat16, "pallas windowed g8 bf16dec")]:
+    for grp, fine, name in [
+            (8, "stratified", "pallas stratified fine (exact)"),
+            (8, "pallas", "pallas ref-placement fine     ")]:
         cfg = dataclasses.replace(base, render=dataclasses.replace(
             base.render, use_pallas_sampler=True, sampler_group=grp,
-            decoder_dtype=dec_dt))
+            sampler_fine=fine, decoder_dtype=jnp.bfloat16))
         run(name, cfg)
 
 
