@@ -77,13 +77,15 @@ def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
     from ..models.eg3d import networks as nets
     from ..models.eg3d import renderer as rnd
     from ..parallel import mesh as mesh_mod
-    # the windowed sampler only accelerates inference (no VJP) — the
-    # reenact CLIs flip it on via inference=True; --pallas_sampler /
-    # --no_pallas_sampler override
+    # windowed MXU sampler: on by default on an accelerator (it has a
+    # custom VJP, so training uses it too). Ray sharding (n_model > 1)
+    # keeps the XLA path — the Pallas call is per-chip and is not
+    # auto-partitioned over the mesh. --pallas_sampler /
+    # --no_pallas_sampler override.
     sampler = getattr(args, "pallas_sampler", None)
     if sampler is None:
-        sampler = (getattr(args, "_inference", False)
-                   and jax.devices()[0].platform != "cpu")
+        sampler = (jax.devices()[0].platform != "cpu"
+                   and args.n_model == 1)
     render = rnd.RenderConfig(
         ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None,
         use_pallas_marcher=getattr(args, "pallas_marcher", False),

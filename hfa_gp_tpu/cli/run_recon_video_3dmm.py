@@ -56,7 +56,6 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
-    args._inference = True   # reenactment: enable the windowed sampler on TPU
     cfg = common.avatar_config(args, params_len=args.params_len)
     root = f"{args.dataset_root}/{args.dataset}"
     dataset = HeadData3DMM(args.dataset_type, size=args.size, root=root,

@@ -59,7 +59,6 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
-    args._inference = True   # enable the windowed sampler on TPU
     import dataclasses
     cfg = dataclasses.replace(common.avatar_config(args),
                               dim_aud=args.dim_aud,

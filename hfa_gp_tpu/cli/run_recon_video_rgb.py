@@ -56,7 +56,6 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
-    args._inference = True   # reenactment: enable the windowed sampler on TPU
     cfg = common.avatar_config(args)
     root = f"{args.dataset_root}/{args.dataset}"
     dataset = HeadDataTest(args.dataset_type, size=args.size, root=root,

@@ -252,12 +252,127 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
     jax.lax.fori_loop(0, group, body, 0)
 
 
+def _sampler_bwd_kernel(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
+                        slab_ref, sem_ref, *, slab_y: int, slab_x: int,
+                        channels: int, group: int, n_blocks: int):
+    """Backward of _sampler_kernel wrt the quad-packed planes.
+
+    The op is LINEAR in the planes: d planes = Σ_blocks W · (y-folded g)ᵀ
+    scattered into each block's slab region. The TPU grid runs blocks
+    sequentially, so the scatter is a race-free read-modify-write DMA
+    against the fp32 accumulation buffer (aliased zeros → grad_ref).
+    Fully serialized RMW per block — overlapping slabs between
+    consecutive blocks are common (adjacent tiles/windows)."""
+    del zeros_ref  # aliased into grad_ref; only referenced for init
+    i = pl.program_id(0)
+    sy4 = slab_y // 4
+    k4 = sy4 * slab_x
+    base = i * group
+    vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
+    xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
+          % slab_x).astype(jnp.float32)
+
+    def region(j):
+        word = origins_ref[j]
+        oy4 = (word >> 10) & 0x3FF
+        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
+        return grad_ref.at[word >> 20, pl.ds(oy4, sy4),
+                           pl.ds(ox, slab_x), :]
+
+    def body(gi, carry):
+        j = base + gi
+        rd = pltpu.make_async_copy(region(j), slab_ref, sem_ref)
+        rd.start()
+
+        px = txy_ref[gi, 0:1, :]
+        py = txy_ref[gi, 1:2, :]
+        y0 = jnp.floor(py)
+        va = jnp.floor(y0 / 4.0).astype(jnp.int32)
+        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
+        vb2 = jnp.where(vb != va, vb, -1)
+        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+
+        g = g_ref[gi, :, :]                       # (C, P) cotangent
+        vaf = va.astype(jnp.float32) * 4.0
+        vbf = vb.astype(jnp.float32) * 4.0
+        ga = []
+        gb = []
+        for r in range(4):
+            tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
+            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
+            ga.append((tya * g).astype(jnp.bfloat16))
+            gb.append((tyb * g).astype(jnp.bfloat16))
+        ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
+        gb4 = jnp.concatenate(gb, axis=0)
+
+        # d slab (K4, 4C) = wa @ ga4ᵀ + wb @ gb4ᵀ  (contract P on lanes)
+        dn = (((1,), (1,)), ((), ()))
+        ds = jax.lax.dot_general(wa, ga4, dn,
+                                 preferred_element_type=jnp.float32) \
+            + jax.lax.dot_general(wb, gb4, dn,
+                                  preferred_element_type=jnp.float32)
+
+        rd.wait()
+        slab_ref[...] = slab_ref[...] + ds.reshape(sy4, slab_x,
+                                                   4 * channels)
+        wr = pltpu.make_async_copy(slab_ref, region(j), sem_ref)
+        wr.start()
+        wr.wait()
+        return carry
+
+    jax.lax.fori_loop(0, group, body, 0)
+
+
 def sample_blocked(plan: BlockPlan, txy: jax.Array, origins: jax.Array,
                    planes_quad: jax.Array, *, group: int = 8,
                    interpret: bool = False) -> jax.Array:
-    """txy (NB,2,P) slab-relative, origins (NB,) packed int32,
-    planes_quad (B3, H/4, W, 4C) from quad_pack_planes →
-    (NB, C, P) fp32 bilinear features (lane-major in P)."""
+    """Differentiable windowed sampling: txy (NB,2,P) slab-relative,
+    origins (NB,) packed int32, planes_quad (B3, H/4, W, 4C) from
+    quad_pack_planes → (NB, C, P) fp32 features (lane-major in P).
+
+    Gradients flow to planes_quad only (the op is linear in it; the
+    backward is a sequential RMW scatter kernel). txy/origins get zero
+    cotangents — correct for the renderer, where sample coordinates
+    carry no parameter dependence (stratified coarse depths are
+    deterministic and importance depths are stop_gradient'ed, matching
+    the reference)."""
+    return _sampler_ad(plan, group, interpret, planes_quad.shape,
+                        planes_quad.dtype.name)(txy, origins, planes_quad)
+
+
+@functools.lru_cache(maxsize=None)
+def _sampler_ad(plan: BlockPlan, group: int, interpret: bool,
+                pshape: tuple, pdtype_name: str):
+    pdtype = jnp.dtype(pdtype_name)
+
+    def fwd(txy, origins, planes_quad):
+        return _sample_blocked_impl(plan, txy, origins, planes_quad,
+                                    group=group, interpret=interpret)
+
+    f = jax.custom_vjp(fwd)
+
+    def f_fwd(txy, origins, planes_quad):
+        return fwd(txy, origins, planes_quad), (txy, origins)
+
+    def f_bwd(res, g):
+        txy, origins = res
+        grad = _sample_blocked_bwd(plan, txy, origins, g, pshape,
+                                   group=group, interpret=interpret)
+        return (jnp.zeros_like(txy),
+                np.zeros(origins.shape, jax.dtypes.float0),
+                grad.astype(pdtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
+                         origins: jax.Array, planes_quad: jax.Array, *,
+                         group: int = 8,
+                         interpret: bool = False) -> jax.Array:
+    """Forward pallas_call (see sample_blocked)."""
     b3, h4, w_, c4 = planes_quad.shape
     assert h4 * 4 == w_ == plan.plane_hw, (planes_quad.shape, plan)
     assert c4 % 4 == 0
@@ -300,6 +415,54 @@ def sample_blocked(plan: BlockPlan, txy: jax.Array, origins: jax.Array,
         interpret=interpret,
     )(origins, txy, planes_quad)
     return out[:nb] if nb_pad != nb else out
+
+
+def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
+                        origins: jax.Array, g: jax.Array,
+                        planes_shape: tuple, *, group: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """d(sample_blocked)/d(planes_quad): sequential RMW scatter of each
+    block's W·(y-folded g)ᵀ into an fp32 accumulator aliased over a
+    zeros input. Returns (B3, H/4, W, 4C) fp32."""
+    b3, h4, w_, c4 = planes_shape
+    c = c4 // 4
+    nb, _, p = txy.shape
+    sy, sx = plan.slab_y, plan.slab_x
+
+    nb_pad = -(-nb // group) * group
+    if nb_pad != nb:
+        txy = jnp.pad(txy, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        origins = jnp.pad(origins, (0, nb_pad - nb))
+        g = jnp.pad(g, ((0, nb_pad - nb), (0, 0), (0, 0)))
+
+    zeros = jnp.zeros((b3, h4, w_, c4), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_pad // group,),
+        in_specs=[
+            pl.BlockSpec((group, 2, p), lambda i, org: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, c, p), lambda i, org: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # accumulator (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((sy // 4, sx, c4), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    grad = pl.pallas_call(
+        functools.partial(_sampler_bwd_kernel, slab_y=sy, slab_x=sx,
+                          channels=c, group=group, n_blocks=nb_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b3, h4, w_, c4), jnp.float32),
+        # zeros (operand 3, counting the scalar-prefetch arg) IS the
+        # accumulator output
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(origins, txy, g, zeros)
+    return grad
 
 
 def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,

@@ -59,8 +59,10 @@ class RenderConfig:
     # XLA formulation.
     use_pallas_marcher: bool = False
     # Windowed MXU tri-plane sampler (core/pallas/triplane.py) — the
-    # gather-free bilinear lookup. Inference-only (no VJP); replaces
-    # the packed row-gather, which is TPU-issue-bound (CLAUDE.md).
+    # gather-free bilinear lookup replacing the TPU-issue-bound packed
+    # row-gather (CLAUDE.md). Differentiable: a custom VJP scatters
+    # d/d(planes) through a sequential RMW Pallas kernel, so training
+    # can run through it too.
     use_pallas_sampler: bool = False
     sampler_tile: int = 16              # ray tile side per block
     sampler_depth_window: int = 4       # depth samples per block
@@ -758,7 +760,10 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
             depths_fine, colors_f, densities_f,
-            sorted_inputs=rng is None)
+            # stratified placement is monotone per ray even with rng
+            # (jitter stays inside each (window, stratum) cell)
+            sorted_inputs=rng is None
+            or cfg.sampler_fine == "stratified")
         rgb_final, depth_final, weights = marcher(colors, densities,
                                                   depths)
     else:

@@ -520,3 +520,33 @@ def test_synthesis_stratified_close_to_reference_placement():
     err = float(jnp.mean(jnp.abs(got - ref)))
     psnr = -10 * np.log10(float(jnp.mean((got - ref) ** 2)) / 4 + 1e-12)
     assert psnr > 28.0, (psnr, err)
+
+
+def test_synthesis_grad_flows_through_windowed_sampler(gen):
+    """Training through the Pallas sampler: grads must reach ws (via the
+    backbone → planes path) with the custom-VJP scatter backward."""
+    import dataclasses
+    cfg, params = gen
+    cfg_p = dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, use_pallas_sampler=True, pallas_interpret=True,
+            sampler_tile=4, sampler_depth_window=4,
+            sampler_slab=(32, 32), sampler_slab_fine=(32, 32),
+            sampler_group=8))
+    ws = jax.random.normal(jax.random.PRNGKey(13), (1, cfg.num_ws, 512))
+    label = camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None))
+
+    def loss(w):
+        return jnp.mean(synthesis(params, cfg_p, w, label)["image"] ** 2)
+
+    g = jax.grad(loss)(ws)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+    # and it should agree with the XLA-path gradient direction
+    g_ref = jax.grad(
+        lambda w: jnp.mean(synthesis(params, cfg, w, label)["image"] ** 2)
+    )(ws)
+    ga, gb = np.asarray(g).ravel(), np.asarray(g_ref).ravel()
+    corr = np.corrcoef(ga, gb)[0, 1]
+    assert corr > 0.95, corr

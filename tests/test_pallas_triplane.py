@@ -88,3 +88,37 @@ def test_plan_blocks_overflow_flag():
         coords, rnd._PLANE_INV, 1.0, res=res, n_depth=n_depth,
         plane_hw=hw, tile=4, depth_window=2, slab=16)
     assert bool(jnp.any(overflow))
+
+
+def test_windowed_sampler_grad_matches_xla():
+    """The custom-VJP backward (sequential RMW scatter kernel) must
+    produce the same d/d(planes) as autodiff through the XLA
+    grid_sample path."""
+    res, n_depth, hw, c = 16, 8, 64, 32
+    b = 1
+    kp, kc = jax.random.split(jax.random.PRNGKey(4))
+    planes = jax.random.normal(kp, (b, 3, hw, hw, c), jnp.float32)
+    coords = _ray_grid_coords(kc, res, n_depth, b=b)
+    cot = jax.random.normal(jax.random.PRNGKey(5),
+                            (b, 3, res * res * n_depth, c))
+
+    def loss_ref(p):
+        return jnp.sum(rnd.sample_from_planes(p, coords, 1.0) * cot)
+
+    def loss_win(p):
+        f = tp.sample_from_planes_windowed(
+            p, coords, 1.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+            tile=4, depth_window=4, slab=(32, 32), interpret=True)
+        return jnp.sum(f * cot)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(planes))
+    g_win = np.asarray(jax.grad(loss_win)(planes))
+    # bf16 weights in fwd AND bwd matmuls + bf16 grad cast: per-element
+    # error accumulates ~sqrt(contributors)·2^-8 of the local magnitude,
+    # so judge relative to the gradient scale
+    scale = np.abs(g_ref).max()
+    rel_fro = np.linalg.norm(g_win - g_ref) / np.linalg.norm(g_ref)
+    assert rel_fro < 0.01, rel_fro
+    assert np.abs(g_win - g_ref).max() < 0.05 * scale
+    corr = np.corrcoef(g_win.ravel(), g_ref.ravel())[0, 1]
+    assert corr > 0.999, corr

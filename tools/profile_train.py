@@ -23,9 +23,11 @@ import dataclasses
 from hfa_gp_tpu.models.eg3d.renderer import RenderConfig
 remat = "remat" in sys.argv[2:]
 chunk = 4096 if "chunk" in sys.argv[2:] else None
+sampler = "sampler" in sys.argv[2:]
 cfg = heads.AvatarConfig(eg3d=EG3DConfig(
     compute_dtype=jnp.bfloat16,
-    render=RenderConfig(remat=remat, ray_chunk=chunk)))
+    render=RenderConfig(remat=remat, ray_chunk=chunk,
+                        use_pallas_sampler=sampler)))
 params = heads.init_avatar_rgb(jax.random.PRNGKey(0), cfg)
 lp = lpips_mod.init_lpips(jax.random.PRNGKey(1))
 tx = make_optimizer(3e-4)
