@@ -31,7 +31,9 @@ This kernel re-expresses bilinear sampling as small matmuls per block:
 
 Weights and slab are bf16 (fp32 accumulation); max abs error vs the
 fp32 XLA path is ~2e-2 on unit-scale features — below the bf16 trunk
-noise the pipeline already runs with.
+noise the pipeline already runs with. (An fp32-dot variant that skips
+the casts measured faster at batch 4 but slower at the batch-8
+operating point — tools/profile_sampler_e2e.py.)
 
 Slab origins are computed host-side (XLA prepass) from each block's uv
 bbox, aligned to the quad/tile grid (oy mult 4, ox mult 16 — Mosaic
@@ -226,6 +228,9 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
         # fold the straddle test into vb at (1, P) cost: vb2 = -1 never
         # matches a quad row, so wb = 0 when y0 and y0+1 share a quad
         vb2 = jnp.where(vb != va, vb, -1)
+        # bf16 weights/slab: measured fastest at the batch-8 operating
+        # point (fp32-dot saved the casts but paid more on the MXU
+        # there; 25.6 vs 26.2 fps — tools/profile_sampler_e2e.py)
         wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
         wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
 
