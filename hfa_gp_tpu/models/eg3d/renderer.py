@@ -665,10 +665,11 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
                           ray_directions: jax.Array,
                           rng: jax.Array | None):
     """ImportanceRenderer on the windowed MXU sampler
-    (core/pallas/triplane.py) — inference-only (the Pallas call has no
-    VJP; training uses the XLA row-gather path). The plane mean and the
-    OSG decoder run in BLOCKED (…, C, P) layout so only the 33-channel
-    decoder output is unblocked back to ray order."""
+    (core/pallas/triplane.py). Differentiable — the sampler carries a
+    custom VJP (sequential RMW scatter for d/d(planes)), so training
+    runs through this path too. The plane mean and the OSG decoder run
+    in BLOCKED (…, C, P) layout so only the 33-channel decoder output
+    is unblocked back to ray order."""
     from ...core.pallas import triplane as tpl
 
     b, r, _ = ray_origins.shape
@@ -709,6 +710,8 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         n = depths.shape[2]
         packed = pack_planes(planes.astype(jnp.bfloat16))
         chunk = min(4096, r)
+        while r % chunk:
+            chunk //= 2
         nch = r // chunk
         ro_c = jnp.swapaxes(ray_origins.reshape(b, nch, chunk, 3), 0, 1)
         rd_c = jnp.swapaxes(ray_directions.reshape(b, nch, chunk, 3),
