@@ -55,8 +55,8 @@ def main() -> None:
         latent = heads.get_latent(params, weights, cfg)
         img = heads.get_image(params, cfg, latent, label)
         # scalar checksum: forces full execution under timing — the axon
-        # tunnel's block_until_ready doesn't reliably block, so each
-        # timed step fetches this scalar (CLAUDE.md)
+        # tunnel's block_until_ready doesn't reliably block, so timing
+        # drains via this scalar (CLAUDE.md)
         return img, jnp.sum(jnp.abs(img))
 
     # warmup / compile
@@ -64,11 +64,16 @@ def main() -> None:
     assert np.isfinite(float(chk))
     assert out.shape == (batch, 512, 512, 3)
 
-    iters = 10 if on_accel else 2
+    # PIPELINED timing: dispatch all iterations, drain ONCE at the end.
+    # The device executes queued programs serially, so the final scalar
+    # gates every prior step; fetching per-iteration would add the
+    # tunnel's ~33 ms round-trip to every batch (measured — CLAUDE.md),
+    # which a production render loop never pays.
+    iters = 20 if on_accel else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         _, chk = reenact(params, image, label)
-        float(chk)
+    assert np.isfinite(float(chk))
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
