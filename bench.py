@@ -24,7 +24,8 @@ def main() -> None:
     from hfa_gp_tpu.models.eg3d.generator import EG3DConfig
 
     dev = jax.devices()[0]
-    on_accel = dev.platform != "cpu"
+    # the Pallas-TPU sampler lowers only on TPU ("axon" = tunneled TPU)
+    on_accel = dev.platform in ("tpu", "axon")
 
     # bf16 compute in the conv trunks + decoder MLP (MXU-native);
     # fp32 tri-plane gathers and compositing.

@@ -73,21 +73,28 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="capture a jax.profiler trace into this dir")
 
 
-def avatar_config(args, params_len: int | None = None) -> AvatarConfig:
+def avatar_config(args, params_len: int | None = None,
+                  n_data: int = 1) -> AvatarConfig:
     from ..models.eg3d import networks as nets
     from ..models.eg3d import renderer as rnd
     from ..parallel import mesh as mesh_mod
     # windowed MXU sampler: on by default on an accelerator (it has a
     # custom VJP, so training uses it too). Ray sharding (n_model > 1)
-    # keeps the XLA path — the Pallas call is per-chip and is not
-    # auto-partitioned over the mesh. --pallas_sampler /
-    # --no_pallas_sampler override.
+    # keeps the XLA path — rays from ONE image spread across chips and
+    # the Pallas call cannot be auto-partitioned over them. Pure-DP
+    # meshes (n_data > 1) DO get the Pallas path: the render wraps in
+    # shard_map over the data axis (renderer._render_windowed_dp).
+    # --pallas_sampler / --no_pallas_sampler override.
     sampler = getattr(args, "pallas_sampler", None)
     if sampler is None:
-        sampler = (jax.devices()[0].platform != "cpu"
+        # gate on TPU specifically: the pltpu kernel does not lower on
+        # GPU backends ("axon" is the tunneled TPU PJRT plugin)
+        sampler = (jax.devices()[0].platform in ("tpu", "axon")
                    and args.n_model == 1)
     render = rnd.RenderConfig(
         ray_shard_axis=mesh_mod.MODEL_AXIS if args.n_model > 1 else None,
+        data_shard_axis=(mesh_mod.DATA_AXIS
+                         if bool(sampler) and n_data > 1 else None),
         use_pallas_marcher=getattr(args, "pallas_marcher", False),
         use_pallas_sampler=bool(sampler),
         decoder_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)

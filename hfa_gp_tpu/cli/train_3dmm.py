@@ -28,7 +28,9 @@ def main(args) -> None:
     dirs = common.make_dirs(args)
     common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
-    cfg = common.avatar_config(args, params_len=args.params_len)
+    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
+    cfg = common.avatar_config(args, params_len=args.params_len,
+                               n_data=mesh.shape[mesh_mod.DATA_AXIS])
     root = f"{args.dataset_root}/{args.dataset}"
 
     dataset = HeadData3DMM("train", size=args.size, root=root,
@@ -39,16 +41,16 @@ def main(args) -> None:
     loader_test = infinite_batches(
         BatchIterator(dataset_test, 1, shuffle=False))
 
-    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     gen_params = common.load_generator_weights(args)
     params = heads.init_avatar_3dmm(jax.random.PRNGKey(0), cfg, gen_params)
     lpips_params = common.load_lpips(args)
     tx = make_optimizer(args.lr)
     step_fn = t3dmm_train.make_train_step(cfg, tx, args.tune_iter)
+    eval_cfg = heads.without_data_sharding(cfg)  # single test frame
 
     @jax.jit
     def sample_fn(params, coeffs, label):
-        return heads.t3dmm_forward(params, cfg, coeffs, label)
+        return heads.t3dmm_forward(params, eval_cfg, coeffs, label)
 
     with jax.sharding.set_mesh(mesh):
         state = init_state(mesh_mod.replicate(mesh, params), tx)

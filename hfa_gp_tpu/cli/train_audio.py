@@ -35,7 +35,9 @@ def main(args) -> None:
     dirs = common.make_dirs(args)
     common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
-    base_cfg = common.avatar_config(args)
+    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
+    base_cfg = common.avatar_config(args,
+                                    n_data=mesh.shape[mesh_mod.DATA_AXIS])
     import dataclasses
     cfg = dataclasses.replace(base_cfg, dim_aud=args.dim_aud,
                               win_size=args.win_size,
@@ -45,7 +47,6 @@ def main(args) -> None:
     dataset = HeadDataAudio("train", size=args.size, root=root,
                             person=args.person, smo_size=args.smo_size)
 
-    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     gen_params = common.load_generator_weights(args)
     params = audio_train.init_audio_params(jax.random.PRNGKey(0), cfg,
                                            gen_params)

@@ -32,7 +32,8 @@ def main(args) -> None:
     dirs = common.make_dirs(args)
     common.save_args(args, dirs)
     writer = MetricsWriter(dirs["log"])
-    cfg = common.avatar_config(args)
+    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
+    cfg = common.avatar_config(args, n_data=mesh.shape[mesh_mod.DATA_AXIS])
     root = f"{args.dataset_root}/{args.dataset}"
 
     print("==> preparing dataset")
@@ -45,7 +46,6 @@ def main(args) -> None:
         BatchIterator(dataset_test, 1, shuffle=False))
 
     print("==> initializing trainer")
-    mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     gen_params = common.load_generator_weights(args)
     params = heads.init_avatar_rgb(
         jax.random.PRNGKey(0), cfg, gen_params,

@@ -133,6 +133,12 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     assert sy % Y_ALIGN == 0 and sx % X_ALIGN == 0, (sy, sx)
     b = coordinates.shape[0]
     b3 = b * 3
+    # packed-origin word budget: 10 bits each for ox and oy/4, and b3
+    # lives at bits 20..30 (int32 sign bit must stay clear) — exceeding
+    # these would silently DMA the wrong slabs
+    assert plane_hw - sx <= 0x3FF and (plane_hw - sy) // Y_ALIGN <= 0x3FF, \
+        f"plane_hw {plane_hw} too large for 10-bit packed origins"
+    assert b3 < 2048, f"batch*3 = {b3} overflows the 11-bit plane index"
     nb = b3 * (res // tile) ** 2 * (n_depth // depth_window)
     p = tile * tile * depth_window
     plan = BlockPlan(nb, p, tile, depth_window, sy, sx, res, n_depth,
@@ -257,7 +263,7 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
     jax.lax.fori_loop(0, group, body, 0)
 
 
-def _sampler_bwd_kernel(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
+def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
                         slab_ref, sem_ref, *, slab_y: int, slab_x: int,
                         channels: int, group: int, n_blocks: int):
     """Backward of _sampler_kernel wrt the quad-packed planes.
@@ -325,6 +331,86 @@ def _sampler_bwd_kernel(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
         wr = pltpu.make_async_copy(slab_ref, region(j), sem_ref)
         wr.start()
         wr.wait()
+        return carry
+
+    jax.lax.fori_loop(0, group, body, 0)
+
+
+def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
+                             acc_ref, sem_ref, *, slab_y: int,
+                             slab_x: int, channels: int, group: int,
+                             blocks_per_plane: int):
+    """Backward of _sampler_kernel with a FULL-PLANE fp32 VMEM
+    accumulator (the fast path; _sampler_bwd_kernel_hbm is the fallback
+    for planes too large for VMEM).
+
+    Blocks are plane-major (b3 outermost in plan_blocks' ordering), so
+    each plane is a contiguous run of blocks_per_plane blocks. Each
+    block's W·(y-folded g)ᵀ adds straight into the accumulator at its
+    slab offset — a VPU read-modify-write in VMEM instead of the old
+    kernel's two serialized HBM DMAs per block — and the accumulator is
+    DMA'd out to HBM ONCE per plane (b3 copies total, vs 2 per block).
+    Requires blocks_per_plane % group == 0 (enforced by the caller) so
+    no grid step straddles work from a padded tail."""
+    i = pl.program_id(0)
+    sy4 = slab_y // 4
+    k4 = sy4 * slab_x
+    c4 = 4 * channels
+    base = i * group
+    vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
+    xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
+          % slab_x).astype(jnp.float32)
+
+    def body(gi, carry):
+        j = base + gi
+
+        @pl.when(jax.lax.rem(j, blocks_per_plane) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        px = txy_ref[gi, 0:1, :]
+        py = txy_ref[gi, 1:2, :]
+        y0 = jnp.floor(py)
+        va = jnp.floor(y0 / 4.0).astype(jnp.int32)
+        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
+        vb2 = jnp.where(vb != va, vb, -1)
+        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+
+        g = g_ref[gi, :, :]                       # (C, P) cotangent
+        vaf = va.astype(jnp.float32) * 4.0
+        vbf = vb.astype(jnp.float32) * 4.0
+        ga = []
+        gb = []
+        for r in range(4):
+            tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
+            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
+            ga.append((tya * g).astype(jnp.bfloat16))
+            gb.append((tyb * g).astype(jnp.bfloat16))
+        ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
+        gb4 = jnp.concatenate(gb, axis=0)
+
+        dn = (((1,), (1,)), ((), ()))
+        ds = jax.lax.dot_general(wa, ga4, dn,
+                                 preferred_element_type=jnp.float32) \
+            + jax.lax.dot_general(wb, gb4, dn,
+                                  preferred_element_type=jnp.float32)
+
+        word = origins_ref[j]
+        oy4 = (word >> 10) & 0x3FF
+        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
+        cur = acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :]
+        acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :] = \
+            cur + ds.reshape(sy4, slab_x, c4)
+
+        @pl.when(jax.lax.rem(j + 1, blocks_per_plane) == 0)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, out_ref.at[word >> 20],
+                                       sem_ref)
+            cp.start()
+            cp.wait()
+
         return carry
 
     jax.lax.fori_loop(0, group, body, 0)
@@ -422,13 +508,78 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
     return out[:nb] if nb_pad != nb else out
 
 
+# VMEM budget for the full-plane backward accumulator: acc (H/4·W·4C
+# fp32) + double-buffered txy/g blocks must fit in ~16 MB/core VMEM.
+_BWD_ACC_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
                         origins: jax.Array, g: jax.Array,
                         planes_shape: tuple, *, group: int = 8,
                         interpret: bool = False) -> jax.Array:
-    """d(sample_blocked)/d(planes_quad): sequential RMW scatter of each
-    block's W·(y-folded g)ᵀ into an fp32 accumulator aliased over a
-    zeros input. Returns (B3, H/4, W, 4C) fp32."""
+    """d(sample_blocked)/d(planes_quad) → (B3, H/4, W, 4C) fp32.
+
+    Fast path (_sampler_bwd_kernel_vmem): a full-plane fp32 VMEM
+    accumulator, one HBM write per PLANE. Fallback
+    (_sampler_bwd_kernel_hbm): sequential RMW scatter through HBM, two
+    DMAs per BLOCK — used when the plane doesn't fit the VMEM budget or
+    the block count doesn't tile the grid cleanly."""
+    b3, h4, w_, c4 = planes_shape
+    nb = txy.shape[0]
+    blocks_per_plane = nb // b3
+    acc_bytes = h4 * w_ * c4 * 4
+    if (acc_bytes <= _BWD_ACC_VMEM_BUDGET
+            and nb == b3 * blocks_per_plane
+            and blocks_per_plane % group == 0):
+        return _sample_blocked_bwd_vmem(plan, txy, origins, g,
+                                        planes_shape, group=group,
+                                        interpret=interpret)
+    return _sample_blocked_bwd_hbm(plan, txy, origins, g, planes_shape,
+                                   group=group, interpret=interpret)
+
+
+def _sample_blocked_bwd_vmem(plan: BlockPlan, txy: jax.Array,
+                             origins: jax.Array, g: jax.Array,
+                             planes_shape: tuple, *, group: int,
+                             interpret: bool) -> jax.Array:
+    b3, h4, w_, c4 = planes_shape
+    c = c4 // 4
+    nb, _, p = txy.shape
+    sy, sx = plan.slab_y, plan.slab_x
+    blocks_per_plane = nb // b3
+    assert blocks_per_plane % group == 0 and nb == b3 * blocks_per_plane
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb // group,),
+        in_specs=[
+            pl.BlockSpec((group, 2, p), lambda i, org: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, c, p), lambda i, org: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((h4, w_, c4), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sampler_bwd_kernel_vmem, slab_y=sy, slab_x=sx,
+                          channels=c, group=group,
+                          blocks_per_plane=blocks_per_plane),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b3, h4, w_, c4), jnp.float32),
+        interpret=interpret,
+    )(origins, txy, g)
+
+
+def _sample_blocked_bwd_hbm(plan: BlockPlan, txy: jax.Array,
+                            origins: jax.Array, g: jax.Array,
+                            planes_shape: tuple, *, group: int = 8,
+                            interpret: bool = False) -> jax.Array:
+    """Fallback: sequential RMW scatter of each block's W·(y-folded g)ᵀ
+    into an fp32 accumulator aliased over a zeros input."""
     b3, h4, w_, c4 = planes_shape
     c = c4 // 4
     nb, _, p = txy.shape
@@ -458,7 +609,7 @@ def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
         ],
     )
     grad = pl.pallas_call(
-        functools.partial(_sampler_bwd_kernel, slab_y=sy, slab_x=sx,
+        functools.partial(_sampler_bwd_kernel_hbm, slab_y=sy, slab_x=sx,
                           channels=c, group=group, n_blocks=nb_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b3, h4, w_, c4), jnp.float32),

@@ -53,6 +53,18 @@ class AvatarConfig:
     eg3d: EG3DConfig = field(default_factory=EG3DConfig)
 
 
+def without_data_sharding(cfg: AvatarConfig) -> AvatarConfig:
+    """Copy of cfg with the renderer's DP shard_map wrapper disabled —
+    for eval/sample paths that run replicated small batches (a single
+    test frame, the dim_shape basis sweep) which need not divide the
+    mesh's data axis."""
+    from dataclasses import replace
+    if cfg.eg3d.render.data_shard_axis is None:
+        return cfg
+    render = replace(cfg.eg3d.render, data_shard_axis=None)
+    return replace(cfg, eg3d=replace(cfg.eg3d, render=render))
+
+
 # -- init -------------------------------------------------------------------
 
 

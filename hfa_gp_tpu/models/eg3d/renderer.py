@@ -54,6 +54,14 @@ class RenderConfig:
     # §2.5). None = no constraint. Requires an active mesh
     # (jax.sharding.use_mesh) when set.
     ray_shard_axis: str | None = None
+    # Mesh axis the BATCH is sharded over (DP pods). When set together
+    # with use_pallas_sampler, render_rays wraps the windowed render in
+    # shard_map over this axis: batch entries are independent through
+    # the whole render, so the Pallas custom call partitions trivially —
+    # each shard runs the kernel on its local batch (correct by
+    # construction; XLA cannot auto-partition a custom call). Requires
+    # an ambient mesh (jax.sharding.set_mesh).
+    data_shard_axis: str | None = None
     # Fused Pallas compositing kernel (core/pallas/raymarch.py).
     # Inference-only: pallas_call has no VJP here — training keeps the
     # XLA formulation.
@@ -62,7 +70,12 @@ class RenderConfig:
     # gather-free bilinear lookup replacing the TPU-issue-bound packed
     # row-gather (CLAUDE.md). Differentiable: a custom VJP scatters
     # d/d(planes) through a sequential RMW Pallas kernel, so training
-    # can run through it too.
+    # can run through it too. CAVEAT: the VJP flows to the PLANES only —
+    # sample coordinates get zero cotangents (fine for this renderer,
+    # where depths are stratified constants or stop_gradient'ed
+    # importance samples, but a trainable-camera/pose-refinement use
+    # would silently get no gradient through coordinates; use the XLA
+    # path for that).
     use_pallas_sampler: bool = False
     sampler_tile: int = 16              # ray tile side per block
     sampler_depth_window: int = 4       # depth samples per block
@@ -85,6 +98,11 @@ class RenderConfig:
     #    out-of-slab corners) on sharp surfaces
     #    (tools/overflow_envelope.py).
     sampler_fine: str = "stratified"
+    # Debug: jax.debug.print the fraction of blocks whose bilinear
+    # footprint exceeded the slab (those corners read zeros). The
+    # default slabs were sized for FFHQ-like pose distributions
+    # (stddev ~0.3); turn this on when sampling wider camera ranges.
+    sampler_debug_overflow: bool = False
     pallas_interpret: bool = False      # interpret-mode (CPU tests)
     # MLP compute dtype for the OSG decoder (bf16 halves the biggest
     # matmuls; sigma/rgb emitted fp32).
@@ -602,6 +620,9 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
     _, _, ph, pw, _ = planes.shape
 
     if cfg.use_pallas_sampler:
+        if cfg.data_shard_axis is not None:
+            return _render_windowed_dp(decoder_params, cfg, planes,
+                                       ray_origins, ray_directions, rng)
         return _render_core_windowed(decoder_params, cfg, planes,
                                      ray_origins, ray_directions, rng)
 
@@ -660,6 +681,49 @@ def decoder_apply_cp(params: Params, cfg: RenderConfig,
     return y.astype(jnp.float32)
 
 
+def _render_windowed_dp(decoder_params: Params, cfg: RenderConfig,
+                        planes: jax.Array, ray_origins: jax.Array,
+                        ray_directions: jax.Array,
+                        rng: jax.Array | None):
+    """Windowed render under shard_map over cfg.data_shard_axis.
+
+    Batch entries are independent through plan_blocks → Pallas sampler →
+    decoder → marcher, so partitioning on the batch is exact: each mesh
+    shard runs the (per-chip) Pallas kernel on its local batch slice and
+    no collectives are needed until the caller's loss psum. This is the
+    pod-scale DP path — without it, XLA cannot partition the Pallas
+    custom call and a sharded-batch jit would replicate or fail (STATUS
+    r2 'pod caveat'). Ray (model-axis) sharding keeps the XLA gather
+    path instead."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = cfg.data_shard_axis
+    mesh = jax.sharding.get_abstract_mesh()
+    assert axis in mesh.axis_names, (axis, mesh)
+    spec_b = P(axis)
+
+    if rng is None:
+        def local(params, pl_, ro, rd):
+            return _render_core_windowed(params, cfg, pl_, ro, rd, None)
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), spec_b, spec_b, spec_b),
+                       out_specs=(spec_b, spec_b, spec_b),
+                       check_vma=False)
+        return fn(decoder_params, planes, ray_origins, ray_directions)
+
+    def local_rng(params, pl_, ro, rd, key):
+        # distinct stratified jitter per shard
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return _render_core_windowed(params, cfg, pl_, ro, rd, key)
+
+    fn = shard_map(local_rng, mesh=mesh,
+                   in_specs=(P(), spec_b, spec_b, spec_b, P()),
+                   out_specs=(spec_b, spec_b, spec_b),
+                   check_vma=False)
+    return fn(decoder_params, planes, ray_origins, ray_directions, rng)
+
+
 def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
                           planes: jax.Array, ray_origins: jax.Array,
                           ray_directions: jax.Array,
@@ -684,10 +748,16 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         n = depths.shape[2]
         pts = ray_origins[:, :, None, :] \
             + depths * ray_directions[:, :, None, :]
-        plan, txy, origins, _ = tpl.plan_blocks(
+        plan, txy, origins, overflow = tpl.plan_blocks(
             pts.reshape(b, -1, 3), _PLANE_INV, cfg.box_warp,
             res=res, n_depth=n, plane_hw=ph, tile=cfg.sampler_tile,
             depth_window=cfg.sampler_depth_window, slab=slab)
+        if cfg.sampler_debug_overflow:
+            jax.debug.print(
+                "triplane sampler: {f:.4f} of {n} blocks overflow the "
+                "{s} slab (out-of-slab corners read zeros)",
+                f=jnp.mean(overflow.astype(jnp.float32)),
+                n=plan.n_blocks, s=slab)
         blocked = tpl.sample_blocked(plan, txy, origins, planes_quad,
                                      group=cfg.sampler_group,
                                      interpret=cfg.pallas_interpret)
@@ -742,6 +812,11 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
     if n_fine > 0:
         _, _, weights = marcher(colors_c, densities_c, depths_coarse)
         if cfg.sampler_fine == "stratified":
+            assert n_fine % cfg.sampler_depth_window == 0, (
+                f"depth_resolution_importance ({n_fine}) must be a "
+                f"multiple of sampler_depth_window "
+                f"({cfg.sampler_depth_window}) — truncation would "
+                f"silently drop fine samples")
             depths_fine = sample_importance_windowed(
                 depths_coarse, weights,
                 n_windows=n_fine // cfg.sampler_depth_window,

@@ -88,10 +88,19 @@ class PartialFC:
         self.num_sample = max(1, int(sample_rate * self.num_local))
 
     def init(self, key: jax.Array) -> jax.Array:
-        w = jax.random.normal(key, (self.num_classes, self.embedding_dim),
-                              jnp.float32) * 0.01
-        return jax.device_put(
-            w, NamedSharding(self.mesh, P(MODEL_AXIS, None)))
+        """Shard-local init: jit with out_shardings lets the partitioner
+        generate each shard on its own device (threefry is partitionable
+        in jax>=0.4.26), so the full (num_classes, emb) table is never
+        materialized on host — at the reference's 29M-id sweep point
+        (docs/speed_benchmark.md:63-77) that would be ~60 GB."""
+        sharding = self.weight_sharding()
+        shape = (self.num_classes, self.embedding_dim)
+
+        @partial(jax.jit, out_shardings=sharding)
+        def _init(k):
+            return jax.random.normal(k, shape, jnp.float32) * 0.01
+
+        return _init(key)
 
     def weight_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(MODEL_AXIS, None))
@@ -129,8 +138,11 @@ class PartialFC:
                 perm = jax.random.uniform(
                     jax.random.fold_in(key, shard_idx), (num_local,))
                 pos = jnp.where(local_lab >= 0, local_lab, 0)
-                perm = perm.at[pos].set(
-                    jnp.where(local_lab >= 0, 2.0, perm[pos]))
+                # scatter-MAX: rows without a positive write -inf (no-op)
+                # so a duplicate write to index 0 can never clobber a real
+                # class-0 positive's 2.0 priority (order-undefined .set)
+                perm = perm.at[pos].max(
+                    jnp.where(local_lab >= 0, 2.0, -jnp.inf))
                 _, index = jax.lax.top_k(perm, num_sample)
                 index = jnp.sort(index)
                 w_used = w_local[index]

@@ -34,13 +34,40 @@ class ArcFaceState(NamedTuple):
     step: jax.Array
 
 
+def _decay_sampled_rows(weight_decay: float) -> optax.GradientTransformation:
+    """Weight decay applied only to class-center ROWS that received a
+    gradient this step. With PartialFC sample_rate<1 the unsampled rows
+    have exactly-zero grads; the reference's optimizer-state surgery
+    means it only ever steps (and so only ever decays) the sampled
+    sub-weight (arcface_torch/partial_fc.py:96-136) — decaying all rows
+    would shrink rarely-sampled centers over long runs. Must sit BEFORE
+    sgd in the chain so the decay term enters momentum like torch SGD's
+    weight_decay does."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        def add_decay(g, p):
+            row_sampled = (jnp.sum(jnp.abs(g), axis=-1, keepdims=True)
+                           > 0).astype(p.dtype)
+            return g + weight_decay * p * row_sampled
+
+        return jax.tree.map(add_decay, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizers(total_steps: int, *, lr: float = 0.1,
                     warmup_steps: int = 0, momentum: float = 0.9,
                     weight_decay: float = 5e-4):
     sched = poly_scheduler(lr, total_steps, warmup_steps)
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.sgd(sched, momentum=momentum))
-    return tx, tx
+    fc_tx = optax.chain(_decay_sampled_rows(weight_decay),
+                        optax.sgd(sched, momentum=momentum))
+    return tx, fc_tx
 
 
 def init_state(key: jax.Array, pfc: PartialFC, tx, fc_tx,

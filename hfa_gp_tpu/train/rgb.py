@@ -68,6 +68,7 @@ def make_train_step(cfg: heads.AvatarConfig, tx: optax.GradientTransformation,
 def make_eval_step(cfg: heads.AvatarConfig, *,
                    label_convention: str = "opencv"):
     """trainer.sample equivalent (trainer_rgb.py:100-106)."""
+    cfg = heads.without_data_sharding(cfg)  # single replicated frame
 
     @jax.jit
     def sample(params: Params, real_image: jax.Array, label: jax.Array):
@@ -83,6 +84,7 @@ def sample_bases(params: Params, cfg: heads.AvatarConfig,
     108-127) — returns (dim_shape, H, W, 3). Batched over the basis axis
     in ONE synthesis call instead of the reference's python loop."""
     from ..core import camera as cam
+    cfg = heads.without_data_sharding(cfg)  # replicated basis sweep
     label = cam.sample_camera_label(None, n=1, mode=None)
     n = cfg.dim_shape
     weights = jnp.eye(n) * weight_value

@@ -90,10 +90,36 @@ def test_plan_blocks_overflow_flag():
     assert bool(jnp.any(overflow))
 
 
+def test_bwd_vmem_matches_hbm():
+    """The full-plane-VMEM-accumulator backward must equal the HBM RMW
+    fallback (identical per-block products, identical block order →
+    identical fp32 accumulation)."""
+    res, n_depth, hw, c = 16, 8, 64, 32
+    b = 2
+    kp, kc = jax.random.split(jax.random.PRNGKey(6))
+    planes = jax.random.normal(kp, (b, 3, hw, hw, c), jnp.float32)
+    coords = _ray_grid_coords(kc, res, n_depth, b=b)
+    plan, txy, origins, _ = tp.plan_blocks(
+        coords, rnd._PLANE_INV, 1.0, res=res, n_depth=n_depth,
+        plane_hw=hw, tile=4, depth_window=4, slab=(32, 32))
+    pq = tp.quad_pack_planes(planes.astype(jnp.bfloat16))
+    g = jax.random.normal(jax.random.PRNGKey(7),
+                          (plan.n_blocks, c, plan.points), jnp.float32)
+    # dispatch preconditions for the fast path hold on this geometry
+    assert (plan.n_blocks // (b * 3)) % 8 == 0
+    gv = tp._sample_blocked_bwd_vmem(plan, txy, origins, g, pq.shape,
+                                     group=8, interpret=True)
+    gh = tp._sample_blocked_bwd_hbm(plan, txy, origins, g, pq.shape,
+                                    group=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gh),
+                               atol=1e-5, rtol=1e-5)
+    assert float(jnp.mean(jnp.abs(gv))) > 0.0
+
+
 def test_windowed_sampler_grad_matches_xla():
-    """The custom-VJP backward (sequential RMW scatter kernel) must
-    produce the same d/d(planes) as autodiff through the XLA
-    grid_sample path."""
+    """The custom-VJP backward (full-plane VMEM accumulator kernel on
+    this geometry — see _sample_blocked_bwd dispatch) must produce the
+    same d/d(planes) as autodiff through the XLA grid_sample path."""
     res, n_depth, hw, c = 16, 8, 64, 32
     b = 1
     kp, kc = jax.random.split(jax.random.PRNGKey(4))

@@ -92,6 +92,58 @@ def test_partial_fc_sampled_runs_and_descends(mesh):
     assert l1 < l0
 
 
+def test_partial_fc_sampled_keeps_class0_positive(mesh):
+    """The positive-priority scatter must be a MAX: a batch mixing a real
+    class-0 positive with no-positive rows (label outside this shard →
+    local label −1, which aliases index 0 in the scatter) must still
+    always sample class 0, i.e. row 0 of the weight gets a gradient for
+    every sampling key (VERDICT r2 §weak-3a)."""
+    num_classes, dim, b = 64, 8, 8
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((num_classes, dim)),
+                    dtype=jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((b, dim)), dtype=jnp.float32)
+    # one class-0 positive; everything else lands on the OTHER shard
+    # (classes >= 32 for n_model=2), making local_lab = -1 rows here
+    labels = np.full(b, num_classes - 1, np.int32)
+    labels[3] = 0
+    labels = jnp.asarray(labels)
+
+    pfc = PartialFC(mesh, num_classes, dim, sample_rate=0.25)
+    w_s = jax.device_put(w, pfc.weight_sharding())
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (emb, labels))
+
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        gw = jax.grad(lambda W: pfc.loss(W, emb_s, lab_s,
+                                         sample_key=key))(w_s)
+        # class 0 sampled → its center receives the positive's gradient
+        assert float(jnp.sum(jnp.abs(gw[0]))) > 0.0, seed
+
+
+def test_fc_decay_masked_to_sampled_rows():
+    """train.arcface's FC optimizer decays only rows with nonzero grads
+    (the functional analog of the reference's sampled-sub-weight step,
+    partial_fc.py:96-136)."""
+    from hfa_gp_tpu.train.arcface import make_optimizers
+    _, fc_tx = make_optimizers(total_steps=10, lr=0.1, warmup_steps=0,
+                               weight_decay=0.5)
+    w = jnp.ones((4, 3), jnp.float32)
+    # -0.7 (not -wd*w = -0.5, which would cancel the decay term exactly)
+    g = jnp.zeros((4, 3), jnp.float32).at[1].set(0.25).at[3].set(-0.7)
+    state = fc_tx.init(w)
+    upd, _ = fc_tx.update(g, state, w)
+    w1 = w + upd  # optax updates are additive
+    # unsampled rows: no grad, no decay → unchanged
+    np.testing.assert_allclose(np.asarray(w1[0]), 1.0)
+    np.testing.assert_allclose(np.asarray(w1[2]), 1.0)
+    # sampled rows move by -lr * (g + wd * w)
+    np.testing.assert_allclose(np.asarray(w1[1]),
+                               1.0 - 0.1 * (0.25 + 0.5), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1[3]),
+                               1.0 - 0.1 * (-0.7 + 0.5), rtol=1e-6)
+
+
 def test_combined_margin_modes():
     t = jnp.asarray([0.9, 0.0, -0.5])
     np.testing.assert_allclose(
