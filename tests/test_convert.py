@@ -109,6 +109,54 @@ def test_convert_roundtrip_and_synthesis():
                                atol=1e-6)
 
 
+def test_parity_harness_dryrun(tmp_path):
+    """The EXACT pickle-day procedure, end-to-end on a synthetic pickle
+    (VERDICT r2 #3b):
+
+        python tools/convert_pickle.py <pkl> eg3d.npz
+        python tools/parity_harness.py compare golden.npz eg3d.npz
+
+    Synthesizes a pickle from our params (torch state-dict layout),
+    converts it through the real CLI entry, captures a golden npz in
+    the reference's NCHW layout, and asserts compare() reports ~exact
+    PSNR at every stage — so when `ffhqrebalanced512-128.pkl` is
+    available only the capture step is new."""
+    import pickle
+
+    from tools import convert_pickle, parity_harness
+
+    cfg = small_config()
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    sd = to_torch_sd(params)
+
+    pkl = tmp_path / "synthetic.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"G_ema": dict(sd)}, f)
+    out_npz = str(tmp_path / "eg3d.npz")
+    convert_pickle.main(str(pkl), out_npz)
+
+    # golden capture (what parity_harness.capture does with the torch
+    # pickle, here fed by our own synthesis → NCHW)
+    ws = np.asarray(jax.random.normal(jax.random.PRNGKey(1),
+                                      (1, cfg.num_ws, 512)))
+    label = np.asarray(camera.flip_yz_label(
+        camera.sample_camera_label(None, n=1, mode=None)))
+    from hfa_gp_tpu.models.eg3d import networks as nets
+    planes = np.asarray(nets.backbone_apply(
+        params["backbone"], cfg.backbone, ws, noise_mode="const"))
+    out = synthesis(params, cfg, ws, label, noise_mode="const")
+    golden = str(tmp_path / "golden.npz")
+    np.savez(golden, ws=ws, label=label,
+             planes=planes.transpose(0, 3, 1, 2),
+             image=np.asarray(out["image"]).transpose(0, 3, 1, 2),
+             image_raw=np.asarray(out["image_raw"]).transpose(0, 3, 1, 2))
+
+    psnrs = parity_harness.compare(golden, out_npz, cfg=cfg)
+    assert set(psnrs) == {"planes", "image_raw", "image"}
+    for stage, db in psnrs.items():
+        assert db > 60.0, (stage, db)
+
+
 def test_stub_unpickler_captures_foreign_classes(tmp_path):
     """Pickles referencing dnnlib/torch_utils classes load without those
     packages installed."""

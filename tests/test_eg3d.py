@@ -305,23 +305,13 @@ def test_mapping_truncation(gen):
                                atol=1e-5)
 
 
-def test_synthesis_block_matches_torch():
-    """Full skip-architecture SynthesisBlock (conv0 up=2 → conv1 → torgb
-    with 1/sqrt(cin) weight-gain → FIR-upsampled skip add) vs a
-    clean-room torch composition — the SURVEY §7.3 risk seam."""
-    import math
-
-    from tests.test_ops import (nchw, to_nhwc, torch_modulated_conv2d,
-                                torch_upfirdn2d)
-    from hfa_gp_tpu.core import ops
+def make_block_case(seed: int = 11):
+    """Pinned inputs/params for the synthesis-block seam (shared by the
+    in-env torch cross-check and tools/capture_golden.py)."""
     from hfa_gp_tpu.models.eg3d import networks as nets
 
-    rng_np = np.random.default_rng(11)
+    rng_np = np.random.default_rng(seed)
     b, h, cin, cout, w_dim, img_ch = 2, 8, 6, 5, 16, 3
-    clamp = 256.0
-    fir = [1, 3, 3, 1]
-    k = ops.make_fir_kernel(fir)
-
     p = jax.tree_util.tree_map(
         np.asarray,
         nets.init_block(jax.random.PRNGKey(0), cin, cout, w_dim, 2 * h,
@@ -340,13 +330,24 @@ def test_synthesis_block_matches_torch():
     x = rng_np.standard_normal((b, h, h, cin)).astype(np.float32)
     img = rng_np.standard_normal((b, h, h, img_ch)).astype(np.float32)
     ws = rng_np.standard_normal((b, 3, w_dim)).astype(np.float32)
+    return p, x, img, ws
 
-    got_x, got_img = nets.block_apply(
-        jax.tree_util.tree_map(jnp.asarray, p), jnp.asarray(x),
-        jnp.asarray(img), jnp.asarray(ws), fir=fir, conv_clamp=clamp,
-        up=True)
 
-    # ---- clean-room torch composition --------------------------------
+def torch_block_reference(p, x, img, ws, fir=(1, 3, 3, 1),
+                          clamp=256.0):
+    """Clean-room torch SynthesisBlock (conv0 up=2 → conv1 → torgb with
+    1/sqrt(cin) weight-gain → FIR-upsampled skip add) — the SURVEY
+    §7.3 risk seam. Returns (trunk, rgb) as numpy NHWC."""
+    import math
+
+    from tests.test_ops import (nchw, to_nhwc, torch_modulated_conv2d,
+                                torch_upfirdn2d)
+    from hfa_gp_tpu.core import ops
+
+    b, _, _, cin = x.shape
+    cout = p["conv0"]["weight"].shape[-1]
+    k = ops.make_fir_kernel(list(fir))
+
     def affine(a, wv):
         return torch.from_numpy(wv) @ torch.from_numpy(a["weight"]).T \
             / math.sqrt(a["weight"].shape[1]) + torch.from_numpy(a["bias"])
@@ -394,10 +395,25 @@ def test_synthesis_block_matches_torch():
     skip = torch_upfirdn2d(nchw(img), torch.from_numpy(k * 4.0),
                            up=2, pad=(2, 1))
     want_img = skip + y
+    return to_nhwc(t), to_nhwc(want_img)
 
-    np.testing.assert_allclose(np.asarray(got_x), to_nhwc(t), rtol=2e-3,
+
+def test_synthesis_block_matches_torch():
+    from hfa_gp_tpu.models.eg3d import networks as nets
+
+    clamp = 256.0
+    fir = [1, 3, 3, 1]
+    p, x, img, ws = make_block_case()
+
+    got_x, got_img = nets.block_apply(
+        jax.tree_util.tree_map(jnp.asarray, p), jnp.asarray(x),
+        jnp.asarray(img), jnp.asarray(ws), fir=fir, conv_clamp=clamp,
+        up=True)
+    want_x, want_img = torch_block_reference(p, x, img, ws, fir, clamp)
+
+    np.testing.assert_allclose(np.asarray(got_x), want_x, rtol=2e-3,
                                atol=2e-4)
-    np.testing.assert_allclose(np.asarray(got_img), to_nhwc(want_img),
+    np.testing.assert_allclose(np.asarray(got_img), want_img,
                                rtol=2e-3, atol=2e-4)
 
 

@@ -62,7 +62,11 @@ def capture(pkl_path: str, out_path: str) -> None:
     print(f"wrote {out_path}")
 
 
-def compare(golden_path: str, weights_npz: str) -> None:
+def compare(golden_path: str, weights_npz: str,
+            cfg=None) -> dict[str, float]:
+    """Returns {stage: psnr_db}; also prints a per-stage report. `cfg`
+    defaults to the flagship EG3DConfig (the real pickle's geometry);
+    tests pass a small config to dry-run the whole procedure in-env."""
     import jax.numpy as jnp
 
     from hfa_gp_tpu.models.eg3d import networks as nets
@@ -71,9 +75,11 @@ def compare(golden_path: str, weights_npz: str) -> None:
 
     golden = np.load(golden_path)
     params = pytree_io.load_npz(weights_npz)
-    cfg = EG3DConfig()
+    if cfg is None:
+        cfg = EG3DConfig()
     ws = jnp.asarray(golden["ws"])
     label = jnp.asarray(golden["label"])
+    psnrs: dict[str, float] = {}
 
     def report(name, got_nhwc, want_nchw):
         got = np.asarray(got_nhwc).transpose(0, 3, 1, 2)
@@ -81,6 +87,7 @@ def compare(golden_path: str, weights_npz: str) -> None:
         diff = np.abs(got - want)
         mse = float(np.mean((got - want) ** 2))
         psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+        psnrs[name] = psnr
         print(f"{name:14s} max|Δ|={diff.max():.5f} "
               f"mean|Δ|={diff.mean():.6f} psnr={psnr:.2f} dB")
 
@@ -90,6 +97,7 @@ def compare(golden_path: str, weights_npz: str) -> None:
     out = synthesis(params, cfg, ws, label, noise_mode="const")
     report("image_raw", out["image_raw"], golden["image_raw"])
     report("image", out["image"], golden["image"])
+    return psnrs
 
 
 if __name__ == "__main__":
