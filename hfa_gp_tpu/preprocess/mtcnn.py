@@ -5,11 +5,16 @@ Replaces the reference's external TensorFlow `mtcnn` package
 image pyramid with NMS between stages, producing a box + 5-point
 landmarks per face.
 
-TPU-first formulation: every stage is jitted with STATIC candidate
-capacities (top-K selection + mask-based O(K²) NMS instead of
-data-dependent filtering), so the whole cascade compiles once per image
-size. Weights convert from the pip package's `mtcnn_weights.npy` via
-tools/convert_mtcnn.py; random init keeps the pipeline testable.
+TPU-first formulation: every stage is jitted with STATIC shapes —
+P-Net runs ONE batched call over the whole zero-padded pyramid (masked
+to receptive-field-complete outputs), and R/O-Net candidate batches are
+zero-padded to fixed BUCKETS — so the cascade compiles once per video
+geometry + once per bucket, never per frame (the device-visible shapes
+are independent of the candidate counts). Box arithmetic between
+stages stays in host numpy: each distinct-shape jnp dispatch would
+compile a fresh tiny TPU program per candidate count. Weights convert
+from the pip package's `mtcnn_weights.npy` via tools/convert_mtcnn.py;
+random init keeps the pipeline testable.
 
 The per-frame driver (`detect_faces`) reproduces batch_mtcnn.py:32-79:
 confidence gate 0.9 and most-central-face selection.
@@ -32,6 +37,9 @@ NMS_THRESHOLDS = (0.7, 0.7, 0.7)
 SCALE_FACTOR = 0.709
 MIN_FACE_SIZE = 20
 MAX_CANDIDATES = 256
+# static batch capacities for R/O-Net: candidate counts pad up to the
+# next bucket so the jitted program is reused across frames
+CANDIDATE_BUCKETS = (16, 32, 64, 128, 256)
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +241,42 @@ def apply_regression(boxes: jax.Array, reg: jax.Array) -> jax.Array:
 # Host-side pipeline (numpy orchestration around the jitted nets)
 # ---------------------------------------------------------------------------
 
+# module-level jits: re-wrapping with jax.jit(...) per call would
+# retrace every frame
+_pnet_jit = jax.jit(pnet_apply)
+_rnet_jit = jax.jit(rnet_apply)
+_onet_jit = jax.jit(onet_apply)
+
+
+def _bucket(n: int) -> int:
+    """Smallest static batch bucket holding n candidates."""
+    for b in CANDIDATE_BUCKETS:
+        if n <= b:
+            return b
+    return CANDIDATE_BUCKETS[-1]
+
+
+def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+    if x.shape[0] == rows:
+        return x
+    return np.concatenate(
+        [x, np.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)])
+
+
+def _apply_regression_np(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
+    w = (boxes[:, 2] - boxes[:, 0] + 1)[:, None]
+    h = (boxes[:, 3] - boxes[:, 1] + 1)[:, None]
+    return boxes + reg * np.concatenate([w, h, w, h], axis=1)
+
+
+def _square_boxes_np(boxes: np.ndarray) -> np.ndarray:
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    side = np.maximum(w, h)
+    x1 = boxes[:, 0] + w * 0.5 - side * 0.5
+    y1 = boxes[:, 1] + h * 0.5 - side * 0.5
+    return np.stack([x1, y1, x1 + side, y1 + side], axis=1)
+
 
 def _normalize(img: np.ndarray) -> np.ndarray:
     return (img.astype(np.float32) - 127.5) * (1.0 / 128.0)
@@ -268,10 +312,15 @@ def detect_faces(params: Params, img: np.ndarray,
 
     Mirrors the pip package's detect_faces output consumed at
     batch_mtcnn.py:53-67."""
-    h, w = img.shape[:2]
-    norm = _normalize(img)
+    from PIL import Image
 
-    # --- stage 1: P-Net over the pyramid
+    h, w = img.shape[:2]
+
+    # --- stage 1: P-Net, ONE batched call over the zero-padded pyramid.
+    # Per-scale outputs are masked to the receptive-field-complete
+    # region (2y+12 <= hs), where padded-batch values are exactly the
+    # unpadded ones; windows whose 12px field would extend past the
+    # image edge are dropped (they only ever saw truncated data).
     m = 12.0 / min_face_size
     min_side = min(h, w) * m
     scales = []
@@ -280,17 +329,24 @@ def detect_faces(params: Params, img: np.ndarray,
         scales.append(s)
         s *= SCALE_FACTOR
         min_side *= SCALE_FACTOR
+    if not scales:
+        return []
+
+    dims = [(int(np.ceil(h * sc)), int(np.ceil(w * sc))) for sc in scales]
+    h0, w0 = dims[0]
+    pyr = np.zeros((len(scales), h0, w0, 3), np.float32)
+    for i, (hs, ws) in enumerate(dims):
+        pyr[i, :hs, :ws] = np.asarray(Image.fromarray(img).resize(
+            (ws, hs), Image.BILINEAR), np.float32)
+    prob_all, reg_all = _pnet_jit(params["pnet"], _normalize(pyr))
+    prob_all = np.asarray(prob_all)[:, :, :, 1]
+    reg_all = np.asarray(reg_all)
 
     all_boxes = []
-    for scale in scales:
-        hs, ws = int(np.ceil(h * scale)), int(np.ceil(w * scale))
-        from PIL import Image
-        scaled = np.asarray(Image.fromarray(img).resize(
-            (ws, hs), Image.BILINEAR), np.float32)
-        scaled = (scaled - 127.5) / 128.0
-        prob, reg = jax.jit(pnet_apply)(params["pnet"], scaled[None])
-        prob = np.asarray(prob)[0, :, :, 1]
-        reg = np.asarray(reg)[0]
+    for i, ((hs, ws), scale) in enumerate(zip(dims, scales)):
+        vh, vw = (hs - 12) // 2 + 1, (ws - 12) // 2 + 1
+        prob = prob_all[i, :vh, :vw]
+        reg = reg_all[i, :vh, :vw]
         ys, xs = np.where(prob > thresholds[0])
         if len(ys) == 0:
             continue
@@ -311,32 +367,30 @@ def detect_faces(params: Params, img: np.ndarray,
     cand = np.concatenate(all_boxes)
     keep = _nms_np(cand[:, :4], cand[:, 4], NMS_THRESHOLDS[0])
     cand = cand[keep][:max_candidates]
-    boxes = np.asarray(apply_regression(jnp.asarray(cand[:, :4]),
-                                        jnp.asarray(cand[:, 5:9])))
-    boxes = np.asarray(square_boxes(jnp.asarray(boxes)))
+    boxes = _square_boxes_np(_apply_regression_np(cand[:, :4],
+                                                  cand[:, 5:9]))
 
-    # --- stage 2: R-Net
-    crops = _crop_resize(img, boxes, 24)
-    prob, reg = jax.jit(rnet_apply)(params["rnet"], jnp.asarray(crops))
-    prob = np.asarray(prob)[:, 1]
-    reg = np.asarray(reg)
+    # --- stage 2: R-Net (candidate batch padded to a static bucket)
+    n = len(boxes)
+    crops = _pad_rows(_crop_resize(img, boxes, 24), _bucket(n))
+    prob, reg = _rnet_jit(params["rnet"], crops)
+    prob = np.asarray(prob)[:n, 1]
+    reg = np.asarray(reg)[:n]
     keep = prob > thresholds[1]
     boxes, prob, reg = boxes[keep], prob[keep], reg[keep]
     if len(boxes) == 0:
         return []
     keep = _nms_np(boxes, prob, NMS_THRESHOLDS[1])
     boxes, prob, reg = boxes[keep], prob[keep], reg[keep]
-    boxes = np.asarray(apply_regression(jnp.asarray(boxes),
-                                        jnp.asarray(reg)))
-    boxes = np.asarray(square_boxes(jnp.asarray(boxes)))
+    boxes = _square_boxes_np(_apply_regression_np(boxes, reg))
 
-    # --- stage 3: O-Net
-    crops = _crop_resize(img, boxes, 48)
-    prob, reg, lmk = jax.jit(onet_apply)(params["onet"],
-                                         jnp.asarray(crops))
-    prob = np.asarray(prob)[:, 1]
-    reg = np.asarray(reg)
-    lmk = np.asarray(lmk)
+    # --- stage 3: O-Net (same bucketing)
+    n = len(boxes)
+    crops = _pad_rows(_crop_resize(img, boxes, 48), _bucket(n))
+    prob, reg, lmk = _onet_jit(params["onet"], crops)
+    prob = np.asarray(prob)[:n, 1]
+    reg = np.asarray(reg)[:n]
+    lmk = np.asarray(lmk)[:n]
     keep = prob > thresholds[2]
     boxes, prob, reg, lmk = boxes[keep], prob[keep], reg[keep], lmk[keep]
     if len(boxes) == 0:
@@ -345,8 +399,7 @@ def detect_faces(params: Params, img: np.ndarray,
     bh = boxes[:, 3] - boxes[:, 1] + 1
     pts_x = boxes[:, 0:1] + lmk[:, 0:5] * bw[:, None]
     pts_y = boxes[:, 1:2] + lmk[:, 5:10] * bh[:, None]
-    boxes = np.asarray(apply_regression(jnp.asarray(boxes),
-                                        jnp.asarray(reg)))
+    boxes = _apply_regression_np(boxes, reg)
     keep = _nms_np(boxes, prob, NMS_THRESHOLDS[2], mode="min")
     result = []
     names = ["left_eye", "right_eye", "nose", "mouth_left", "mouth_right"]

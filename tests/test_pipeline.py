@@ -114,3 +114,23 @@ def test_detector_runs_on_synthetic_image():
         0, 255, (120, 120, 3), dtype=np.uint8)
     out = mtcnn.detect_faces(params, img)
     assert isinstance(out, list)
+
+
+def test_detect_faces_no_per_frame_retrace():
+    """The cascade's device programs are static-shape: across frames of
+    one geometry with VARYING candidate counts, P-Net traces once and
+    R/O-Net trace at most once per candidate bucket (the r2 version
+    retraced R/O-Net for every distinct post-filter count)."""
+    params = mtcnn.init_mtcnn(jax.random.PRNGKey(0))
+    p0 = mtcnn._pnet_jit._cache_size()
+    r0 = mtcnn._rnet_jit._cache_size()
+    o0 = mtcnn._onet_jit._cache_size()
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        img = rng.integers(0, 255, (160, 144, 3), dtype=np.uint8)
+        mtcnn.detect_faces(params, img)
+    assert mtcnn._pnet_jit._cache_size() - p0 <= 1
+    assert mtcnn._rnet_jit._cache_size() - r0 \
+        <= len(mtcnn.CANDIDATE_BUCKETS)
+    assert mtcnn._onet_jit._cache_size() - o0 \
+        <= len(mtcnn.CANDIDATE_BUCKETS)

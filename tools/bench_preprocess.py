@@ -1,0 +1,80 @@
+"""Preprocessing throughput on a synthetic clip (VERDICT r2 #6).
+
+Measures frames/sec of (a) the MTCNN detect stage and (b) the full
+process_video chain (recon + align + 512² crop + label pack) with
+landmarks provided, on synthetic frames with random weights — the
+structural claim ("one batched program replaces the reference's
+6-subprocess chain", eg3d-pose-detection/process_test_video.py:17-65)
+backed by a number. Weights being random changes arithmetic content,
+not time.
+
+Usage: python tools/bench_preprocess.py [n_frames] [size]
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+
+    import jax
+    from PIL import Image
+
+    from hfa_gp_tpu.preprocess import mtcnn, pipeline
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+
+    params = mtcnn.init_mtcnn(jax.random.PRNGKey(0))
+
+    # --- MTCNN detect stage
+    mtcnn.detect_faces(params, frames[0])           # compile
+    t0 = time.perf_counter()
+    n_det = 0
+    for f in frames:
+        out = mtcnn.detect_faces(params, f)
+        n_det += len(out)
+    dt = time.perf_counter() - t0
+    print(f"mtcnn detect: {n_frames / dt:.2f} frames/sec "
+          f"({dt / n_frames * 1e3:.1f} ms/frame, {n_det} detections, "
+          f"pnet traces={mtcnn._pnet_jit._cache_size()}, "
+          f"rnet traces={mtcnn._rnet_jit._cache_size()}, "
+          f"onet traces={mtcnn._onet_jit._cache_size()})", flush=True)
+
+    # --- full pipeline with provided landmarks (recon+align+label)
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = os.path.join(td, "frames")
+        os.mkdir(in_dir)
+        lms = {}
+        base = np.array([[size * .38, size * .42], [size * .62, size * .42],
+                         [size * .5, size * .55], [size * .41, size * .68],
+                         [size * .59, size * .68]], np.float32)
+        for i, f in enumerate(frames):
+            name = f"{i:04d}.png"
+            Image.fromarray(f).save(os.path.join(in_dir, name))
+            lms[name] = base + rng.normal(0, 1, (5, 2)).astype(np.float32)
+
+        cfg = pipeline.PipelineConfig(batch_size=16)
+        t0 = time.perf_counter()
+        out_dir = pipeline.process_video(in_dir, cfg=cfg, landmarks=lms)
+        dt = time.perf_counter() - t0
+        n_out = len([f for f in os.listdir(out_dir)
+                     if f.endswith(".png")])
+        print(f"process_video (landmarks given): "
+              f"{n_frames / dt:.2f} frames/sec "
+              f"({dt / n_frames * 1e3:.1f} ms/frame, {n_out} crops)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
