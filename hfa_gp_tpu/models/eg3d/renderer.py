@@ -678,7 +678,9 @@ def decoder_apply_cp(params: Params, cfg: RenderConfig,
     x = x.astype(cfg.decoder_dtype)
     h = fc(x, params["fc0"]["weight"], params["fc0"]["bias"], act=True)
     y = fc(h, params["fc1"]["weight"], params["fc1"]["bias"], act=False)
-    return y.astype(jnp.float32)
+    # stays in compute dtype: the caller unblocks this (big transposes)
+    # before casting — bf16 halves those copy bytes both directions
+    return y
 
 
 def _render_windowed_dp(decoder_params: Params, cfg: RenderConfig,
@@ -764,9 +766,12 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         nbp = plan.n_blocks // (b * 3)
         feats = blocked.reshape(b, 3, nbp, c, plan.points).mean(axis=1)
         y = decoder_apply_cp(decoder_params, cfg, feats)  # (b,nbp,33,P)
+        # unblock in the decoder's compute dtype (bf16 halves the
+        # transpose bytes, fwd AND bwd); cast to fp32 at the 33-channel
+        # tail where compositing wants full precision
         y = tpl._unblock_feats(y.reshape(b * nbp, -1, plan.points),
                                plan, b)                   # (b, R·N, 33)
-        y = y.reshape(b, r, n, -1)
+        y = y.reshape(b, r, n, -1).astype(jnp.float32)
         sigma = y[..., 0:1]
         rgb = jax.nn.sigmoid(y[..., 1:]) * (1 + 2 * 0.001) - 0.001
         return rgb, sigma

@@ -108,5 +108,58 @@ def per_point_impact():
           flush=True)
 
 
+def coarse_envelope(n_pose: int = 16):
+    """Overflow of the COARSE slab candidates over many sampled poses —
+    both the stratified coarse pass and the windowed-STRATIFIED fine
+    pass use cfg.sampler_slab, so shrinking it (r3 lead: sy 40→36)
+    must hold across the pose distribution AND a worst-case importance
+    field for the fine placement."""
+    ii = (jnp.arange(RES) + 0.5) / RES - 0.5
+    yy, xx = jnp.meshgrid(ii, ii, indexing="ij")
+    r2 = (xx ** 2 + yy ** 2) / 0.18
+    surf = jnp.where(r2 < 1.0, 2.65 - 0.25 * jnp.sqrt(1 - r2), 3.15)
+    surf = surf.reshape(1, -1, 1, 1)
+
+    for slab in [(40, 48), (36, 48), (36, 40), (32, 48)]:
+        worst_c = worst_f = 0.0
+        for seed in range(n_pose):
+            key = jax.random.PRNGKey(seed)
+            label = cam.sample_camera_label(key, n=B, r=2.7,
+                                            horizontal_stddev=0.3,
+                                            vertical_stddev=0.2,
+                                            mode="normal")
+            c2w, intr = cam.unpack_label(cam.flip_yz_label(label))
+            ro, rd = cam.generate_rays(c2w, intr, RES)
+            kj = jax.random.fold_in(key, 99)
+            depths_c = rnd.sample_stratified(ro, 2.25, 3.3, ND, rng=kj)
+            pts = (ro[:, :, None, :] + depths_c * rd[:, :, None, :])
+            _, _, _, ovf = tp.plan_blocks(
+                pts.reshape(B, -1, 3), rnd._PLANE_INV, 1.0, res=RES,
+                n_depth=ND, plane_hw=HW, tile=16, depth_window=4,
+                slab=slab)
+            worst_c = max(worst_c,
+                          float(jnp.mean(ovf.astype(jnp.float32))))
+            # windowed-stratified fine on a sharp unimodal surface
+            w = jnp.exp(-((depths_c[..., :-1, :] - surf) ** 2)
+                        / (2 * 0.03 ** 2))
+            fine = rnd.sample_importance_windowed(
+                depths_c, w, n_windows=ND // 4, n_per=4,
+                ray_start=2.25, ray_end=3.3,
+                rng=jax.random.fold_in(key, 7))
+            ptsf = (ro[:, :, None, :] + fine * rd[:, :, None, :])
+            _, _, _, ovf = tp.plan_blocks(
+                ptsf.reshape(B, -1, 3), rnd._PLANE_INV, 1.0, res=RES,
+                n_depth=ND, plane_hw=HW, tile=16, depth_window=4,
+                slab=slab)
+            worst_f = max(worst_f,
+                          float(jnp.mean(ovf.astype(jnp.float32))))
+        print(f"coarse slab {slab}: worst coarse overflow {worst_c:.5f}"
+              f"  worst strat-fine overflow {worst_f:.5f} "
+              f"({n_pose} pose draws x {B} cams)", flush=True)
+
+
 if __name__ == "__main__":
-    per_point_impact()
+    if "coarse" in sys.argv[1:]:
+        coarse_envelope()
+    else:
+        per_point_impact()
