@@ -59,14 +59,35 @@ def _decay_sampled_rows(weight_decay: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FCOptimizer(NamedTuple):
+    """FC-head optimizer: optax-compatible (init/update) for the dense
+    path, plus the raw hyperparameters for the ROW-SPARSE step used when
+    sample_rate<1 — there the train step gathers momentum rows for the
+    sampled classes only, applies torch-SGD math, and scatters back, so
+    no full-table gradient or optimizer intermediate ever exists
+    (reference's optimizer-state surgery, partial_fc.py:96-136)."""
+    tx: optax.GradientTransformation
+    sched: Any
+    momentum: float
+    weight_decay: float
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def update(self, updates, state, params=None):
+        return self.tx.update(updates, state, params)
+
+
 def make_optimizers(total_steps: int, *, lr: float = 0.1,
                     warmup_steps: int = 0, momentum: float = 0.9,
                     weight_decay: float = 5e-4):
     sched = poly_scheduler(lr, total_steps, warmup_steps)
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.sgd(sched, momentum=momentum))
-    fc_tx = optax.chain(_decay_sampled_rows(weight_decay),
-                        optax.sgd(sched, momentum=momentum))
+    fc_tx = FCOptimizer(
+        tx=optax.chain(_decay_sampled_rows(weight_decay),
+                       optax.sgd(sched, momentum=momentum)),
+        sched=sched, momentum=momentum, weight_decay=weight_decay)
     return tx, fc_tx
 
 
@@ -75,33 +96,86 @@ def init_state(key: jax.Array, pfc: PartialFC, tx, fc_tx,
     kb, kf = jax.random.split(key)
     backbone, stats = registry.init_backbone(kb, network)
     fc_weight = pfc.init(kf)
+    if pfc.sample_rate < 1.0 and isinstance(fc_tx, FCOptimizer):
+        # row-sparse momentum buffer (same sharding as the table)
+        zeros = jax.jit(jnp.zeros_like,
+                        out_shardings=pfc.weight_sharding())
+        fc_opt_state = {"mom": zeros(fc_weight),
+                        "count": jnp.zeros((), jnp.int32)}
+    else:
+        fc_opt_state = fc_tx.init(fc_weight)
     return ArcFaceState(
         backbone=backbone, batch_stats=stats, fc_weight=fc_weight,
-        opt_state=tx.init(backbone), fc_opt_state=fc_tx.init(fc_weight),
+        opt_state=tx.init(backbone), fc_opt_state=fc_opt_state,
         step=jnp.zeros((), jnp.int32))
 
 
 def make_train_step(pfc: PartialFC, tx, fc_tx,
                     network: str = "iresnet50",
                     dtype=jnp.bfloat16, donate: bool = True):
-    def loss_fn(backbone, fc_weight, batch_stats, images, labels, key):
-        kbb, key = jax.random.split(key)
-        emb, new_stats = registry.backbone_apply(
+    """sample_rate==1: dense fc path (full-table grad + optax).
+    sample_rate<1: ROW-SPARSE fc path — differentiate wrt the gathered
+    (num_sample, d) sub-weight and step only those rows (+ their
+    momentum rows), so peak fc memory is table + momentum, never
+    table + momentum + grad. This is what bounds per-chip identity
+    capacity (3M ids OOM'd on one v5e with full-table grads; runs with
+    this path). Reference: arcface_torch/partial_fc.py:96-136."""
+    sparse = pfc.sample_rate < 1.0 and isinstance(fc_tx, FCOptimizer)
+
+    def apply_backbone(backbone, batch_stats, images, kbb):
+        return registry.backbone_apply(
             network, backbone, batch_stats, images, train=True,
             rng=kbb, dtype=dtype)
+
+    def loss_fn(backbone, fc_weight, batch_stats, images, labels, key):
+        kbb, key = jax.random.split(key)
+        emb, new_stats = apply_backbone(backbone, batch_stats, images,
+                                        kbb)
         loss = pfc.loss(fc_weight, emb, labels, sample_key=key)
         return loss, new_stats
 
+    def loss_fn_sparse(backbone, w_sub, batch_stats, images, labels,
+                       index, kbb):
+        emb, new_stats = apply_backbone(backbone, batch_stats, images,
+                                        kbb)
+        loss = pfc.loss_sampled(w_sub, emb, labels, index)
+        return loss, new_stats
+
     def step_fn(state: ArcFaceState, images, labels, key):
-        (loss, new_stats), (g_bb, g_fc) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-            state.backbone, state.fc_weight, state.batch_stats, images,
-            labels, key)
+        if sparse:
+            kbb, ks = jax.random.split(key)
+            index = pfc.sample_indices(labels, ks)
+            w_sub = pfc.take_rows(state.fc_weight, index)
+            (loss, new_stats), (g_bb, g_sub) = jax.value_and_grad(
+                loss_fn_sparse, argnums=(0, 1), has_aux=True)(
+                state.backbone, w_sub, state.batch_stats, images,
+                labels, index, kbb)
+        else:
+            (loss, new_stats), (g_bb, g_fc) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                state.backbone, state.fc_weight, state.batch_stats,
+                images, labels, key)
+
         upd, opt_state = tx.update(g_bb, state.opt_state, state.backbone)
         backbone = optax.apply_updates(state.backbone, upd)
-        fupd, fc_opt_state = fc_tx.update(g_fc, state.fc_opt_state,
-                                          state.fc_weight)
-        fc_weight = optax.apply_updates(state.fc_weight, fupd)
+
+        if sparse:
+            # torch SGD on the sampled rows only: buf = μ·buf + g + wd·w;
+            # w -= lr·buf (decay therefore also touches sampled rows only)
+            count = state.fc_opt_state["count"]
+            lr = fc_tx.sched(count)
+            mom_sub = pfc.take_rows(state.fc_opt_state["mom"], index)
+            buf = fc_tx.momentum * mom_sub \
+                + g_sub + fc_tx.weight_decay * w_sub
+            fc_weight = pfc.put_rows(state.fc_weight, index,
+                                     w_sub - lr * buf)
+            mom = pfc.put_rows(state.fc_opt_state["mom"], index, buf)
+            fc_opt_state = {"mom": mom, "count": count + 1}
+        else:
+            fupd, fc_opt_state = fc_tx.update(g_fc, state.fc_opt_state,
+                                              state.fc_weight)
+            fc_weight = optax.apply_updates(state.fc_weight, fupd)
+
         new_state = ArcFaceState(backbone, new_stats, fc_weight,
                                  opt_state, fc_opt_state, state.step + 1)
         return new_state, {"loss": loss}

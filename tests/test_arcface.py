@@ -144,3 +144,50 @@ def test_arcface_train_step_hybrid_mesh():
             losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_arcface_sparse_step_matches_dense_sampled():
+    """sample_rate<1: the row-sparse train step (sub-weight grad +
+    row-gathered momentum) must produce the SAME first-step fc_weight
+    and loss as the dense formulation (full-table grad, decay masked to
+    sampled rows) — they are the same math; the sparse one just never
+    materializes the table-sized gradient."""
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    tx, fc_tx = arc.make_optimizers(total_steps=10, lr=0.05)
+    pfc = PartialFC(mesh, num_classes=64, embedding_dim=512,
+                    sample_rate=0.5)
+    assert pfc.sample_rate < 1.0
+    step_sparse = arc.make_train_step(pfc, tx, fc_tx, "iresnet18",
+                                      dtype=jnp.float32, donate=False)
+    # dense reference: same pfc but routed through the dense branch by
+    # passing the raw optax chain (not FCOptimizer)
+    step_dense = arc.make_train_step(pfc, tx, fc_tx.tx, "iresnet18",
+                                     dtype=jnp.float32, donate=False)
+
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((8, 112, 112, 3)).astype(np.float32)
+    labs = rng.integers(0, 64, 8).astype(np.int32)
+    with jax.sharding.set_mesh(mesh):
+        state = arc.init_state(jax.random.PRNGKey(0), pfc, tx, fc_tx,
+                               "iresnet18")
+        state = state._replace(
+            backbone=mesh_mod.replicate(mesh, state.backbone),
+            batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
+            opt_state=mesh_mod.replicate(mesh, state.opt_state))
+        assert isinstance(state.fc_opt_state, dict)  # sparse momentum
+        state_d = state._replace(fc_opt_state=fc_tx.tx.init(
+            state.fc_weight))
+        imgs_s, labs_s = mesh_mod.shard_batch(mesh, (imgs, labs))
+
+        key = jax.random.PRNGKey(9)
+        s1, m1 = step_sparse(state, imgs_s, labs_s, key)
+        d1, m2 = step_dense(state_d, imgs_s, labs_s, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.fc_weight),
+                               np.asarray(d1.fc_weight), rtol=1e-5,
+                               atol=1e-7)
+    # unsampled rows kept frozen momentum (zeros) and unchanged weights
+    moved = np.abs(np.asarray(s1.fc_weight)
+                   - np.asarray(state.fc_weight)).sum(axis=1)
+    assert (moved > 0).sum() <= 2 * pfc.num_sample

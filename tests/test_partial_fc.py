@@ -121,6 +121,60 @@ def test_partial_fc_sampled_keeps_class0_positive(mesh):
         assert float(jnp.sum(jnp.abs(gw[0]))) > 0.0, seed
 
 
+def test_sparse_path_matches_internal_sampling(mesh):
+    """The row-sparse path (sample_indices → take_rows → loss_sampled)
+    must reproduce loss()'s internal sampling EXACTLY for the same key,
+    and the (num_sample, d) sub-gradient scattered back must equal the
+    full-table gradient — the memory-bounded formulation is a pure
+    refactor of the math (reference partial_fc.py:96-136)."""
+    num_classes, dim, b = 64, 16, 8
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((num_classes, dim)),
+                    dtype=jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((b, dim)), dtype=jnp.float32)
+    labels = jnp.asarray(rng.integers(0, num_classes, b),
+                         dtype=jnp.int32)
+
+    pfc = PartialFC(mesh, num_classes, dim, sample_rate=0.5)
+    w_s = jax.device_put(w, pfc.weight_sharding())
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (emb, labels))
+    key = jax.random.PRNGKey(5)
+
+    index = pfc.sample_indices(lab_s, key)
+    w_sub = pfc.take_rows(w_s, index)
+    loss_sparse = pfc.loss_sampled(w_sub, emb_s, lab_s, index)
+    loss_dense = pfc.loss(w_s, emb_s, lab_s, sample_key=key)
+    np.testing.assert_allclose(float(loss_sparse), float(loss_dense),
+                               rtol=1e-6)
+
+    g_full = jax.grad(lambda W: pfc.loss(W, emb_s, lab_s,
+                                         sample_key=key))(w_s)
+    g_sub = jax.grad(lambda ws: pfc.loss_sampled(ws, emb_s, lab_s,
+                                                 index))(w_sub)
+    scattered = pfc.put_rows(jnp.zeros_like(w_s), index, g_sub)
+    np.testing.assert_allclose(np.asarray(scattered),
+                               np.asarray(g_full), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_take_put_rows_roundtrip(mesh):
+    num_classes, dim = 32, 8
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.standard_normal((num_classes, dim)),
+                    dtype=jnp.float32)
+    pfc = PartialFC(mesh, num_classes, dim, sample_rate=0.5)
+    w_s = jax.device_put(w, pfc.weight_sharding())
+    labels = jnp.asarray(rng.integers(0, num_classes, 8), jnp.int32)
+    _, lab_s = mesh_mod.shard_batch(
+        mesh, (jnp.zeros((8, dim)), labels))
+    index = pfc.sample_indices(lab_s, jax.random.PRNGKey(0))
+    rows = pfc.take_rows(w_s, index)
+    back = pfc.put_rows(w_s, index, 2.0 * rows)
+    rows2 = pfc.take_rows(back, index)
+    np.testing.assert_allclose(np.asarray(rows2),
+                               2.0 * np.asarray(rows), rtol=1e-6)
+
+
 def test_fc_decay_masked_to_sampled_rows():
     """train.arcface's FC optimizer decays only rows with nonzero grads
     (the functional analog of the reference's sampled-sub-weight step,

@@ -65,13 +65,37 @@ def run(num_classes: int, sample_rate: float, steps: int) -> float:
 
 
 def main():
+    """One SUBPROCESS per config: the chip is single-claim and XLA
+    holds donated/compiled buffers for the process lifetime, so
+    back-to-back configs in one process OOM at sizes that run fine
+    fresh (observed: 1M full after a 125k pair). OOM itself is a
+    recorded result — the reference's sweep table has OOM cells too
+    (docs/speed_benchmark.md:63-77)."""
+    import subprocess
+
     ids = ([int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1
            else [125_000, 1_000_000, 2_000_000])
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     for n in ids:
         for rate in (1.0, 0.1):
-            run(n, rate, steps)
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", str(n), str(rate),
+                 str(steps)], capture_output=True, text=True,
+                timeout=900)
+            out = r.stdout.strip().splitlines()
+            if r.returncode == 0 and out:
+                print(out[-1], flush=True)
+            else:
+                tag = ("OOM" if "RESOURCE_EXHAUSTED" in
+                       (r.stdout + r.stderr) else f"rc={r.returncode}")
+                mode = "full" if rate >= 1.0 else f"pfc{rate}"
+                print(f"ids={n:>9,} {mode:8s}: {tag} "
+                      f"(fc+momentum {2 * n * 512 * 4 / 1e9:.1f} GB)",
+                      flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run(int(sys.argv[2]), float(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

@@ -76,7 +76,9 @@ def body():
     MEAS = {
         # seconds per step, batch per chip
         "rgb_train": {"t": None, "batch": 2},      # filled from argv
-        "arcface_pfc01": {"t": 256.0 / 14736.0, "batch": 256},
+        # 1M ids PFC-0.1, fresh-process pipelined measurement (r3;
+        # the r2 15.9k samples/s figure was a drain bug — see STATUS)
+        "arcface_pfc01": {"t": 256.0 / 1383.0, "batch": 256},
     }
     if len(sys.argv) > 1:
         MEAS["rgb_train"]["t"] = float(sys.argv[1])
