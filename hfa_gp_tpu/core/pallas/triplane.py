@@ -60,6 +60,25 @@ Y_ALIGN = 4     # quad height; oy offsets are in quad units
 X_ALIGN = 16    # bf16 sublane tile of the packed-plane W dim
 
 
+def x_align_for(dtype) -> int:
+    """Mosaic needs HBM slice offsets provably aligned to the sublane
+    tile: 16 texels for bf16 planes, 8 for fp32. fp32 planes therefore
+    admit a narrower slab at the SAME footprint coverage (slab_x −
+    (align − 1) is the guaranteed span): (40, 40) fp32 covers exactly
+    what (40, 48) bf16 does, cutting K4 = Sy/4·Sx — the VPU weight
+    build AND MXU contraction length — by 17%."""
+    return 8 if jnp.dtype(dtype).itemsize == 4 else 16
+
+
+def effective_slab(slab: tuple[int, int], x_align: int) -> tuple[int, int]:
+    """Shrink a bf16-sized (Sy, Sx) slab for a finer x alignment at
+    IDENTICAL guaranteed footprint coverage: the span a slab always
+    covers is Sx − (align − 1), so (Sy, Sx−8) at align 8 covers exactly
+    what (Sy, Sx) covers at align 16."""
+    sy, sx = slab
+    return (sy, sx - (X_ALIGN - x_align))
+
+
 # ---------------------------------------------------------------------------
 # Block planning (XLA prepass)
 # ---------------------------------------------------------------------------
@@ -77,6 +96,7 @@ class BlockPlan:
     res: int               # render resolution (rays = res²)
     n_depth: int           # depth samples per ray
     plane_hw: int          # plane resolution
+    x_align: int = 16      # HBM x-offset alignment (16 bf16 / 8 fp32)
 
 
 def _block_coords(texel_xy: jax.Array, plan: BlockPlan) -> jax.Array:
@@ -124,13 +144,14 @@ def quad_pack_planes(planes: jax.Array) -> jax.Array:
 def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
                 box_warp: float, *, res: int, n_depth: int, plane_hw: int,
                 tile: int, depth_window: int,
-                slab: int | tuple[int, int]
+                slab: int | tuple[int, int],
+                x_align: int = X_ALIGN
                 ) -> tuple[BlockPlan, jax.Array, jax.Array, jax.Array]:
     """coordinates (B, M=res²·N, 3) world points → (plan, txy (NB,2,P)
     fp32 slab-relative texel coords, origins (NB,) packed int32
     [b3·2²⁰ | (oy/4)·2¹⁰ | ox], overflow (NB,) bool)."""
     sy, sx = (slab, slab) if isinstance(slab, int) else slab
-    assert sy % Y_ALIGN == 0 and sx % X_ALIGN == 0, (sy, sx)
+    assert sy % Y_ALIGN == 0 and sx % x_align == 0, (sy, sx, x_align)
     b = coordinates.shape[0]
     b3 = b * 3
     # packed-origin word budget: 10 bits each for ox and oy/4, and b3
@@ -142,7 +163,7 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     nb = b3 * (res // tile) ** 2 * (n_depth // depth_window)
     p = tile * tile * depth_window
     plan = BlockPlan(nb, p, tile, depth_window, sy, sx, res, n_depth,
-                     plane_hw)
+                     plane_hw, x_align)
 
     coords = (2.0 / box_warp) * coordinates
     inv = jnp.asarray(plane_inv, jnp.float32)
@@ -154,7 +175,7 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     mn = jnp.floor(jnp.min(txy, axis=2))                   # (NB, 2) [x, y]
     mx = jnp.ceil(jnp.max(txy, axis=2)) + 1.0              # +1 bilinear apron
     size = jnp.asarray([sx, sy], jnp.float32)
-    align = np.array([X_ALIGN, Y_ALIGN], np.int32)
+    align = np.array([x_align, Y_ALIGN], np.int32)
     # align the slab's left/top edge DOWN from the footprint min: the
     # low side is always covered; the high side is covered whenever the
     # footprint fits in slab - (align - 1)
@@ -185,7 +206,8 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
 
 def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
                     slab_ref, sem_ref, *, slab_y: int, slab_x: int,
-                    channels: int, group: int, n_blocks: int):
+                    channels: int, group: int, n_blocks: int,
+                    x_align: int = X_ALIGN):
     """One grid step processes `group` blocks (amortizes fixed cost);
     slab DMAs are double-buffered one block ahead."""
     i = pl.program_id(0)
@@ -195,7 +217,7 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
     def dma(j, slot):
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF
-        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
+        ox = pl.multiple_of(word & 0x3FF, x_align)
         return pltpu.make_async_copy(
             planes_ref.at[word >> 20, pl.ds(oy4, sy4), pl.ds(ox, slab_x), :],
             slab_ref.at[slot],
@@ -234,13 +256,15 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
         # fold the straddle test into vb at (1, P) cost: vb2 = -1 never
         # matches a quad row, so wb = 0 when y0 and y0+1 share a quad
         vb2 = jnp.where(vb != va, vb, -1)
-        # bf16 weights/slab: measured fastest at the batch-8 operating
-        # point (fp32-dot saved the casts but paid more on the MXU
-        # there; 25.6 vs 26.2 fps — tools/profile_sampler_e2e.py)
-        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+        # weights match the plane dtype: bf16 planes → bf16 MXU dots
+        # (fastest at the default operating point); fp32 planes (the
+        # X_ALIGN=8 narrow-slab variant) keep fp32 dots and skip the
+        # casts entirely
+        wdt = slab_ref.dtype
+        wa = jnp.where(vv == va, tx, 0.0).astype(wdt)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(wdt)
 
-        s = slab_ref[slot].reshape(k4, 4 * channels).astype(jnp.bfloat16)
+        s = slab_ref[slot].reshape(k4, 4 * channels)
         # contract K4 on both: (K4, 4C) × (K4, P) → (4C, P)
         dn = (((0,), (0,)), ((), ()))
         fa = jax.lax.dot_general(s, wa, dn,
@@ -265,7 +289,9 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
 
 def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
                         slab_ref, sem_ref, *, slab_y: int, slab_x: int,
-                        channels: int, group: int, n_blocks: int):
+                        channels: int, group: int, n_blocks: int,
+                        x_align: int = X_ALIGN,
+                        compute_dtype=jnp.bfloat16):
     """Backward of _sampler_kernel wrt the quad-packed planes.
 
     The op is LINEAR in the planes: d planes = Σ_blocks W · (y-folded g)ᵀ
@@ -286,7 +312,7 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
     def region(j):
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF
-        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
+        ox = pl.multiple_of(word & 0x3FF, x_align)
         return grad_ref.at[word >> 20, pl.ds(oy4, sy4),
                            pl.ds(ox, slab_x), :]
 
@@ -302,8 +328,8 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
         vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
         vb2 = jnp.where(vb != va, vb, -1)
-        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+        wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(compute_dtype)
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
         vaf = va.astype(jnp.float32) * 4.0
@@ -313,8 +339,8 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
             tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
-            ga.append((tya * g).astype(jnp.bfloat16))
-            gb.append((tyb * g).astype(jnp.bfloat16))
+            ga.append((tya * g).astype(compute_dtype))
+            gb.append((tyb * g).astype(compute_dtype))
         ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
         gb4 = jnp.concatenate(gb, axis=0)
 
@@ -339,7 +365,9 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
 def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
                              acc_ref, sem_ref, *, slab_y: int,
                              slab_x: int, channels: int, group: int,
-                             blocks_per_plane: int):
+                             blocks_per_plane: int,
+                             x_align: int = X_ALIGN,
+                             compute_dtype=jnp.bfloat16):
     """Backward of _sampler_kernel with a FULL-PLANE fp32 VMEM
     accumulator (the fast path; _sampler_bwd_kernel_hbm is the fallback
     for planes too large for VMEM).
@@ -375,8 +403,8 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
         vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
         vb2 = jnp.where(vb != va, vb, -1)
-        wa = jnp.where(vv == va, tx, 0.0).astype(jnp.bfloat16)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(jnp.bfloat16)
+        wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
+        wb = jnp.where(vv == vb2, tx, 0.0).astype(compute_dtype)
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
         vaf = va.astype(jnp.float32) * 4.0
@@ -386,8 +414,8 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
             tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
-            ga.append((tya * g).astype(jnp.bfloat16))
-            gb.append((tyb * g).astype(jnp.bfloat16))
+            ga.append((tya * g).astype(compute_dtype))
+            gb.append((tyb * g).astype(compute_dtype))
         ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
         gb4 = jnp.concatenate(gb, axis=0)
 
@@ -399,7 +427,7 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
 
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF
-        ox = pl.multiple_of(word & 0x3FF, X_ALIGN)
+        ox = pl.multiple_of(word & 0x3FF, x_align)
         cur = acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :]
         acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :] = \
             cur + ds.reshape(sy4, slab_x, c4)
@@ -450,7 +478,8 @@ def _sampler_ad(plan: BlockPlan, group: int, interpret: bool,
     def f_bwd(res, g):
         txy, origins = res
         grad = _sample_blocked_bwd(plan, txy, origins, g, pshape,
-                                   group=group, interpret=interpret)
+                                   group=group, interpret=interpret,
+                                   compute_dtype=pdtype)
         return (jnp.zeros_like(txy),
                 np.zeros(origins.shape, jax.dtypes.float0),
                 grad.astype(pdtype))
@@ -494,7 +523,8 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_sampler_kernel, slab_y=sy, slab_x=sx,
-                          channels=c, group=group, n_blocks=nb_pad),
+                          channels=c, group=group, n_blocks=nb_pad,
+                          x_align=plan.x_align),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_pad, c, p), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -516,7 +546,8 @@ _BWD_ACC_VMEM_BUDGET = 10 * 1024 * 1024
 def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
                         origins: jax.Array, g: jax.Array,
                         planes_shape: tuple, *, group: int = 8,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        compute_dtype=jnp.bfloat16) -> jax.Array:
     """d(sample_blocked)/d(planes_quad) → (B3, H/4, W, 4C) fp32.
 
     Fast path (_sampler_bwd_kernel_vmem): a full-plane fp32 VMEM
@@ -533,15 +564,18 @@ def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
             and blocks_per_plane % group == 0):
         return _sample_blocked_bwd_vmem(plan, txy, origins, g,
                                         planes_shape, group=group,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        compute_dtype=compute_dtype)
     return _sample_blocked_bwd_hbm(plan, txy, origins, g, planes_shape,
-                                   group=group, interpret=interpret)
+                                   group=group, interpret=interpret,
+                                   compute_dtype=compute_dtype)
 
 
 def _sample_blocked_bwd_vmem(plan: BlockPlan, txy: jax.Array,
                              origins: jax.Array, g: jax.Array,
                              planes_shape: tuple, *, group: int,
-                             interpret: bool) -> jax.Array:
+                             interpret: bool,
+                             compute_dtype=jnp.bfloat16) -> jax.Array:
     b3, h4, w_, c4 = planes_shape
     c = c4 // 4
     nb, _, p = txy.shape
@@ -567,7 +601,9 @@ def _sample_blocked_bwd_vmem(plan: BlockPlan, txy: jax.Array,
     return pl.pallas_call(
         functools.partial(_sampler_bwd_kernel_vmem, slab_y=sy, slab_x=sx,
                           channels=c, group=group,
-                          blocks_per_plane=blocks_per_plane),
+                          blocks_per_plane=blocks_per_plane,
+                          x_align=plan.x_align,
+                          compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b3, h4, w_, c4), jnp.float32),
         interpret=interpret,
@@ -577,7 +613,8 @@ def _sample_blocked_bwd_vmem(plan: BlockPlan, txy: jax.Array,
 def _sample_blocked_bwd_hbm(plan: BlockPlan, txy: jax.Array,
                             origins: jax.Array, g: jax.Array,
                             planes_shape: tuple, *, group: int = 8,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            compute_dtype=jnp.bfloat16) -> jax.Array:
     """Fallback: sequential RMW scatter of each block's W·(y-folded g)ᵀ
     into an fp32 accumulator aliased over a zeros input."""
     b3, h4, w_, c4 = planes_shape
@@ -610,7 +647,9 @@ def _sample_blocked_bwd_hbm(plan: BlockPlan, txy: jax.Array,
     )
     grad = pl.pallas_call(
         functools.partial(_sampler_bwd_kernel_hbm, slab_y=sy, slab_x=sx,
-                          channels=c, group=group, n_blocks=nb_pad),
+                          channels=c, group=group, n_blocks=nb_pad,
+                          x_align=plan.x_align,
+                          compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b3, h4, w_, c4), jnp.float32),
         # zeros (operand 3, counting the scalar-prefetch arg) IS the
@@ -636,7 +675,8 @@ def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
     b, n_planes, h, w_, c = planes.shape
     plan, txy, origins, _ = plan_blocks(
         coordinates, plane_inv, box_warp, res=res, n_depth=n_depth,
-        plane_hw=h, tile=tile, depth_window=depth_window, slab=slab)
+        plane_hw=h, tile=tile, depth_window=depth_window, slab=slab,
+        x_align=x_align_for(dtype))
     planes_quad = quad_pack_planes(planes.astype(dtype))
     blocked = sample_blocked(plan, txy, origins, planes_quad,
                              group=group, interpret=interpret)

@@ -79,7 +79,11 @@ class RenderConfig:
     use_pallas_sampler: bool = False
     sampler_tile: int = 16              # ray tile side per block
     sampler_depth_window: int = 4       # depth samples per block
-    sampler_slab: tuple = (40, 48)      # (Sy, Sx) coarse-pass slab
+    # Plane/weight dtype inside the kernel. fp32 allows X_ALIGN=8 HBM
+    # slice offsets → a narrower slab at identical footprint coverage
+    # (see triplane.x_align_for); the defaults below auto-shrink.
+    sampler_dtype: Any = jnp.bfloat16
+    sampler_slab: tuple = (40, 48)      # (Sy, Sx) coarse-pass slab (bf16)
     sampler_slab_fine: tuple = (64, 80)  # fine pass: importance depths
     sampler_group: int = 4              # blocks per pallas grid step
     # Fine-pass mode:
@@ -743,17 +747,20 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
     assert res * res == r, "windowed sampler needs a square ray grid"
     assert res % cfg.sampler_tile == 0
     _, _, ph, pw, c = planes.shape
-    planes_quad = tpl.quad_pack_planes(planes.astype(jnp.bfloat16))
+    xal = tpl.x_align_for(cfg.sampler_dtype)
+    planes_quad = tpl.quad_pack_planes(planes.astype(cfg.sampler_dtype))
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
 
     def eval_points(depths, slab):
         n = depths.shape[2]
+        slab = tpl.effective_slab(slab, xal)
         pts = ray_origins[:, :, None, :] \
             + depths * ray_directions[:, :, None, :]
         plan, txy, origins, overflow = tpl.plan_blocks(
             pts.reshape(b, -1, 3), _PLANE_INV, cfg.box_warp,
             res=res, n_depth=n, plane_hw=ph, tile=cfg.sampler_tile,
-            depth_window=cfg.sampler_depth_window, slab=slab)
+            depth_window=cfg.sampler_depth_window, slab=slab,
+            x_align=xal)
         if cfg.sampler_debug_overflow:
             jax.debug.print(
                 "triplane sampler: {f:.4f} of {n} blocks overflow the "

@@ -148,3 +148,52 @@ def test_windowed_sampler_grad_matches_xla():
     assert np.abs(g_win - g_ref).max() < 0.05 * scale
     corr = np.corrcoef(g_win.ravel(), g_ref.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_windowed_sampler_fp32_narrow_slab():
+    """The X_ALIGN=8 fp32 variant: fp32 planes admit 8-texel-aligned
+    slab origins, so effective_slab shrinks Sx by 8 at identical
+    guaranteed coverage — and with fp32 weights/dots the kernel must
+    now match the XLA fp32 path to float tolerance, fwd AND grad."""
+    res, n_depth, hw, c = 16, 8, 64, 32
+    b = 1
+    kp, kc = jax.random.split(jax.random.PRNGKey(8))
+    planes = jax.random.normal(kp, (b, 3, hw, hw, c), jnp.float32)
+    coords = _ray_grid_coords(kc, res, n_depth, b=b)
+    xal = tp.x_align_for(jnp.float32)
+    assert xal == 8
+    assert tp.effective_slab((32, 32), xal) == (32, 24)
+    # exactness requires an overflow-free slab on this geometry (the
+    # production envelope for the narrow slab is measured in
+    # tools/overflow_envelope.py)
+    slab = (48, 40)
+
+    plan, _, _, overflow = tp.plan_blocks(
+        coords, rnd._PLANE_INV, 1.0, res=res, n_depth=n_depth,
+        plane_hw=hw, tile=4, depth_window=4, slab=slab, x_align=xal)
+    assert not bool(jnp.any(overflow))
+
+    ref = rnd.sample_from_planes(planes, coords, box_warp=1.0)
+    got = tp.sample_from_planes_windowed(
+        planes, coords, 1.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+        tile=4, depth_window=4, slab=slab, dtype=jnp.float32,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (b, 3, res * res * n_depth, c))
+
+    def loss_ref(p):
+        return jnp.sum(rnd.sample_from_planes(p, coords, 1.0) * cot)
+
+    def loss_win(p):
+        f = tp.sample_from_planes_windowed(
+            p, coords, 1.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+            tile=4, depth_window=4, slab=slab, dtype=jnp.float32,
+            interpret=True)
+        return jnp.sum(f * cot)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(planes))
+    g_win = np.asarray(jax.grad(loss_win)(planes))
+    np.testing.assert_allclose(g_win, g_ref, atol=2e-4, rtol=1e-4)

@@ -120,7 +120,11 @@ def coarse_envelope(n_pose: int = 16):
     surf = jnp.where(r2 < 1.0, 2.65 - 0.25 * jnp.sqrt(1 - r2), 3.15)
     surf = surf.reshape(1, -1, 1, 1)
 
-    for slab in [(40, 48), (36, 48), (36, 40), (32, 48)]:
+    # (slab, x_align): 16 = bf16 planes, 8 = the fp32 narrow-slab
+    # variant (same guaranteed span; the tail loses offset luck, so
+    # measure it)
+    for slab, xal in [((40, 48), 16), ((40, 40), 8), ((36, 48), 16),
+                      ((36, 40), 8), ((32, 48), 16)]:
         worst_c = worst_f = 0.0
         for seed in range(n_pose):
             key = jax.random.PRNGKey(seed)
@@ -136,7 +140,7 @@ def coarse_envelope(n_pose: int = 16):
             _, _, _, ovf = tp.plan_blocks(
                 pts.reshape(B, -1, 3), rnd._PLANE_INV, 1.0, res=RES,
                 n_depth=ND, plane_hw=HW, tile=16, depth_window=4,
-                slab=slab)
+                slab=slab, x_align=xal)
             worst_c = max(worst_c,
                           float(jnp.mean(ovf.astype(jnp.float32))))
             # windowed-stratified fine on a sharp unimodal surface
@@ -150,10 +154,11 @@ def coarse_envelope(n_pose: int = 16):
             _, _, _, ovf = tp.plan_blocks(
                 ptsf.reshape(B, -1, 3), rnd._PLANE_INV, 1.0, res=RES,
                 n_depth=ND, plane_hw=HW, tile=16, depth_window=4,
-                slab=slab)
+                slab=slab, x_align=xal)
             worst_f = max(worst_f,
                           float(jnp.mean(ovf.astype(jnp.float32))))
-        print(f"coarse slab {slab}: worst coarse overflow {worst_c:.5f}"
+        print(f"coarse slab {slab} align {xal}: "
+              f"worst coarse overflow {worst_c:.5f}"
               f"  worst strat-fine overflow {worst_f:.5f} "
               f"({n_pose} pose draws x {B} cams)", flush=True)
 
