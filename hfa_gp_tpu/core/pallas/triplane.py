@@ -102,33 +102,52 @@ class BlockPlan:
 def _block_coords(texel_xy: jax.Array, plan: BlockPlan) -> jax.Array:
     """(B3, res, res, N, 2) texel coords → (NB, 2, P) blocked, where
     blocks iterate (b3, tile_y, tile_x, window) and P iterates
-    (ray_y, ray_x, depth).
+    (depth, ray_y, ray_x).
 
     The kernel is fully LANE-MAJOR in P: coords are (1, P) rows, the
     matmul emits (C, P), the output is (NB, C, P). Layouts with P on
     sublanes were measured pathological both ways: reading (P, 1)
     columns from a (…, P, 2) block makes the pipeline DMA row-count
     bound (P tiny rows per block ≈ 2.6 µs), and (P,)→(P, 1) reshapes
-    force a lane→sublane relayout (~2 µs/block)."""
+    force a lane→sublane relayout (~2 µs/block).
+
+    STAGED so every materialized transpose keeps a large minor dim: the
+    original single 8-D transpose (minor dims (dw, 2)) let XLA pick a
+    T(8,128)-tiled layout with 42× padding expansion — a 12 GB HLO temp
+    at batch 16 (compile-time OOM) and multi-GB hidden copies at
+    batch 8. Depth-outermost P ordering is what makes the second stage's
+    minor dim the contiguous t·t ray tile."""
     b3 = texel_xy.shape[0]
     t, dw = plan.tile, plan.depth_window
-    nt = plan.res // t
     nw = plan.n_depth // dw
-    x = texel_xy.reshape(b3, nt, t, nt, t, nw, dw, 2)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (b3, nty, ntx, nw, t, t, dw, 2)
-    x = x.reshape(plan.n_blocks, plan.points, 2)
-    return x.transpose(0, 2, 1)
+    nt = plan.res // t
+    # (b3, nty, ty, ntx, tx, n, 2) → (2, b3, nty, ntx, ty, tx, n):
+    # minor n = n_depth lanes
+    x = texel_xy.reshape(b3, nt, t, nt, t, plan.n_depth, 2)
+    x = x.transpose(6, 0, 1, 3, 2, 4, 5)
+    # (2, B', tt, nw, dw) → (2, B', nw, dw, tt): minor tt = t·t lanes
+    x = x.reshape(2, b3 * nt * nt, t * t, nw, dw)
+    x = x.transpose(0, 1, 3, 4, 2)
+    x = x.reshape(2, plan.n_blocks, plan.points)
+    return x.transpose(1, 0, 2)
 
 
 def _unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
-    """(NB, C, P) → (B3, res*res*N, C), inverting _block_coords."""
+    """(NB, C, P) → (B3, res*res*N, C), inverting _block_coords.
+
+    Same staging rule: only the FINAL materialization (the (…, C)
+    target layout itself) has a sub-128 minor dim; the depth unfold
+    keeps the t·t ray tile minor."""
     t, dw = plan.tile, plan.depth_window
     nt = plan.res // t
     nw = plan.n_depth // dw
     c = blocked.shape[1]
-    x = blocked.reshape(b3, nt, nt, nw, c, t, t, dw)
-    # (b3, nty, t_y, ntx, t_x, nw, dw, c)
-    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    # (B_, C, dw, tt) → (B_, dw, C, tt): minor tt = t·t lanes
+    x = blocked.reshape(b3 * nt * nt * nw, c, dw, t * t)
+    x = x.transpose(0, 2, 1, 3)
+    # (b3, nty, ntx, n, c, ty, tx) → (b3, nty, ty, ntx, tx, n, c)
+    x = x.reshape(b3, nt, nt, nw * dw, c, t, t)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 4)
     return x.reshape(b3, plan.res * plan.res * plan.n_depth, c)
 
 
