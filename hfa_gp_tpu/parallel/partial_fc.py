@@ -159,8 +159,11 @@ class PartialFC:
         (num_sample, emb) sub-gradient, never the full table — the
         reference's core PartialFC memory property
         (arcface_torch/partial_fc.py:96-136), which is what bounds
-        per-chip identity capacity (measured: 3M ids OOM'd on one v5e
-        with full-table grads, runs with this path)."""
+        per-chip identity capacity (measured on one 16 GB v5e, r50:
+        full-table grads OOM at 2M ids; this path runs 2M at batch 256
+        and 3M at batch 128 — at 3M the 300k-row sub-weight/grad/
+        momentum working set is ~2.3 GB on top of the 12.3 GB
+        table+momentum, so batch-256 activations no longer fit)."""
         num_local, num_sample = self.num_local, self.num_sample
 
         def shard_fn(lab_local, k):

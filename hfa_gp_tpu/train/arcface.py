@@ -116,10 +116,12 @@ def make_train_step(pfc: PartialFC, tx, fc_tx,
     """sample_rate==1: dense fc path (full-table grad + optax).
     sample_rate<1: ROW-SPARSE fc path — differentiate wrt the gathered
     (num_sample, d) sub-weight and step only those rows (+ their
-    momentum rows), so peak fc memory is table + momentum, never
-    table + momentum + grad. This is what bounds per-chip identity
-    capacity (3M ids OOM'd on one v5e with full-table grads; runs with
-    this path). Reference: arcface_torch/partial_fc.py:96-136."""
+    momentum rows), so peak fc memory is table + momentum + the
+    sampled-row working set, never table + momentum + a table-sized
+    grad. This is what bounds per-chip identity capacity (one 16 GB
+    v5e, r50: full-table grads OOM at 2M ids; this path runs 2M at
+    batch 256, 3M at batch 128).
+    Reference: arcface_torch/partial_fc.py:96-136."""
     sparse = pfc.sample_rate < 1.0 and isinstance(fc_tx, FCOptimizer)
 
     def apply_backbone(backbone, batch_stats, images, kbb):

@@ -25,7 +25,9 @@ from hfa_gp_tpu.parallel import mesh as mesh_mod
 from hfa_gp_tpu.parallel.partial_fc import PartialFC
 from hfa_gp_tpu.train import arcface as arc
 
-BATCH = 256
+import os
+
+BATCH = int(os.environ.get("ARC_BATCH", 256))
 NETWORK = "iresnet50"
 
 
@@ -86,8 +88,10 @@ def main():
             if r.returncode == 0 and out:
                 print(out[-1], flush=True)
             else:
-                tag = ("OOM" if "RESOURCE_EXHAUSTED" in
-                       (r.stdout + r.stderr) else f"rc={r.returncode}")
+                err = r.stdout + r.stderr
+                tag = ("OOM" if ("RESOURCE_EXHAUSTED" in err
+                                 or "Ran out of memory" in err)
+                       else f"rc={r.returncode}")
                 mode = "full" if rate >= 1.0 else f"pfc{rate}"
                 print(f"ids={n:>9,} {mode:8s}: {tag} "
                       f"(fc+momentum {2 * n * 512 * 4 / 1e9:.1f} GB)",
