@@ -545,6 +545,47 @@ def _permute_rows_bwd(perm, g):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+@jax.custom_vjp
+def _apply_ranks(feats: jax.Array, rank: jax.Array) -> jax.Array:
+    """out[..., rank[..., s], :] = feats[..., s, :] — apply a per-ray
+    permutation given as destination ranks, via one batched one-hot
+    matmul (MXU).
+
+    Custom VJP: JAX's native transpose of the one-hot einsum is the
+    SAME matmul contracting over the one-hot's OTHER axis; XLA's
+    transposed-batched-matmul path made that ~130 ms at batch 2 / 96
+    samples (vs ~8 ms forward; measured r3,
+    tools/probe_render_bwd2.py). A permutation's transpose IS the
+    inverse permutation, so the backward builds the inverse one-hot
+    directly — d_feats[s] = g[rank[s]] = Σ_p (rank[s]==p)·g[p] — and
+    contracts it in the identical (fast) orientation as the forward.
+    (A vmap'd row-gather bwd was tried first: 34-float rows hit the
+    per-element TPU gather path and DOUBLED the step time.)"""
+    n = rank.shape[-1]
+    dst = jnp.arange(n, dtype=jnp.int32)
+    onehot = (rank[..., None, :] == dst[:, None]).astype(feats.dtype)
+    return jnp.einsum("brks,brsf->brkf", onehot, feats)
+
+
+def _apply_ranks_fwd(feats, rank):
+    return _apply_ranks(feats, rank), rank
+
+
+def _apply_ranks_bwd(rank, g):
+    n = rank.shape[-1]
+    dst = jnp.arange(n, dtype=jnp.int32)
+    # inverse permutation (inv_rank[rank[s]] = s), then re-enter the
+    # forward einsum verbatim: d_feats[s] = g[rank[s]] means scattering
+    # g[p] to slot inv_rank[p] — exactly _apply_ranks(g, inv_rank)
+    cmp = rank[..., :, None] == dst              # (B, R, src, dst)
+    inv_rank = jnp.sum(cmp * dst[:, None], axis=-2)
+    return (_apply_ranks(g, inv_rank),
+            np.zeros(rank.shape, jax.dtypes.float0))
+
+
+_apply_ranks.defvjp(_apply_ranks_fwd, _apply_ranks_bwd)
+
+
 def unify_samples(d1, c1, s1, d2, c2, s2, *, sorted_inputs: bool = False):
     """Depth-sort-merge of coarse+fine samples along the sample axis.
 
@@ -570,10 +611,7 @@ def unify_samples(d1, c1, s1, d2, c2, s2, *, sorted_inputs: bool = False):
         r2 = jnp.cumsum(jnp.ones_like(k2, jnp.int32), axis=-1) - 1 \
             + jnp.sum(k1[..., None, :] <= k2[..., :, None], axis=-1)
         rank = jnp.concatenate([r1, r2], axis=-1)       # (B, R, N)
-        n = rank.shape[-1]
-        dst = jnp.arange(n, dtype=jnp.int32)
-        onehot = (rank[..., None, :] == dst[:, None]).astype(feats.dtype)
-        feats_sorted = jnp.einsum("brks,brsf->brkf", onehot, feats)
+        feats_sorted = _apply_ranks(feats, rank)
     else:
         keys = jax.lax.stop_gradient(depths[..., 0])
         feats_sorted = _permute_rows(feats, keys)

@@ -22,7 +22,7 @@ def tiny_cfg_patch(monkeypatch_module=None):
     CPU-friendly."""
     orig = common.avatar_config
 
-    def tiny(args, params_len=None):
+    def tiny(args, params_len=None, n_data=1):
         kw = dict(size=args.size, dim=args.latent_dim_style,
                   dim_shape=args.latent_dim_shape,
                   use_softmax=args.use_softmax,

@@ -480,6 +480,37 @@ def test_unify_samples_rank_merge_matches_sort():
                                    atol=1e-6)
 
 
+def test_unify_samples_rank_merge_grads_match_sort():
+    """_apply_ranks carries a custom VJP (the backward re-enters the
+    forward one-hot einsum with the INVERSE permutation — XLA's native
+    transposed-batched-matmul path was ~16x slower, r3
+    tools/probe_render_bwd2.py); its gradients must equal the lax.sort
+    path's."""
+    rng = np.random.default_rng(3)
+    b, r, n1, n2, c = 2, 5, 6, 7, 3
+    d1 = jnp.asarray(np.sort(rng.uniform(0, 1, (b, r, n1, 1)), axis=2),
+                     jnp.float32)
+    d2 = jnp.asarray(np.sort(rng.uniform(0, 1, (b, r, n2, 1)), axis=2),
+                     jnp.float32)
+    c1 = jnp.asarray(rng.standard_normal((b, r, n1, c)), jnp.float32)
+    c2 = jnp.asarray(rng.standard_normal((b, r, n2, c)), jnp.float32)
+    s1 = jnp.asarray(rng.standard_normal((b, r, n1, 1)), jnp.float32)
+    s2 = jnp.asarray(rng.standard_normal((b, r, n2, 1)), jnp.float32)
+
+    def loss(sorted_, c1_, s1_, c2_, s2_):
+        dd, cc, ss = rnd.unify_samples(d1, c1_, s1_, d2, c2_, s2_,
+                                       sorted_inputs=sorted_)
+        return jnp.sum(jnp.sin(cc) * jnp.cos(ss) + dd[..., :1] * cc)
+
+    gs = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3))(
+        c1, s1, c2, s2)
+    gu = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3))(
+        c1, s1, c2, s2)
+    for a, bb in zip(gs, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-6)
+
+
 def test_windowed_stratified_importance_in_window():
     """sample_importance_windowed must place every fine sample inside
     its static depth window, for sharp, bimodal, and uniform densities
