@@ -393,6 +393,14 @@ def sample_importance(z_vals: jax.Array, weights: jax.Array,
     w = _smooth_weights(w)
     z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
     fine = sample_pdf(z_mid, w[:, 1:-1], n_importance, rng=rng)
+    if rng is not None:
+        # iid-uniform u gives an unordered sample; sorting the DEPTHS
+        # (same set — sample_pdf is monotone in u, so this equals
+        # sorting u first) is a cheap keys-only lax.sort and lets
+        # unify_samples use the rank merge in TRAINING too, instead of
+        # the feature-row sort whose transposed backward costs ~16x
+        # (see _apply_ranks). rng=None u is linspace, already sorted.
+        fine = jnp.sort(fine, axis=-1)
     fine = jax.lax.stop_gradient(fine)
     return fine.reshape(b, r, n_importance, 1)
 
@@ -888,10 +896,11 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
             depths_fine, colors_f, densities_f,
-            # stratified placement is monotone per ray even with rng
-            # (jitter stays inside each (window, stratum) cell)
-            sorted_inputs=rng is None
-            or cfg.sampler_fine == "stratified")
+            # both lists are always sorted: stratified coarse jitter
+            # stays in its bin; windowed-stratified fine is monotone by
+            # construction; global-quantile fine is explicitly sorted
+            # in sample_importance
+            sorted_inputs=True)
         rgb_final, depth_final, weights = marcher(colors, densities,
                                                   depths)
     else:
@@ -942,7 +951,11 @@ def _render_core(decoder_params: Params, cfg: RenderConfig,
         depths, colors, densities = unify_samples(
             depths_coarse, colors_c, densities_c,
             depths_fine, colors_f, densities_f,
-            sorted_inputs=rng is None)
+            # always sorted: stratified coarse + explicitly-sorted
+            # importance depths (sample_importance) → rank merge in
+            # training too (the feature-row sort path stays for
+            # sorted_inputs=False callers)
+            sorted_inputs=True)
         rgb_final, depth_final, weights = marcher(colors, densities,
                                                   depths)
     else:

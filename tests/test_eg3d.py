@@ -511,6 +511,24 @@ def test_unify_samples_rank_merge_grads_match_sort():
                                    atol=1e-6)
 
 
+def test_sample_importance_sorted_with_rng():
+    """sample_importance must return per-ray SORTED depths even with
+    iid-uniform u (it sorts the sample set — sample_pdf is monotone, so
+    this equals sorting u) — the property that lets unify_samples take
+    the rank-merge path unconditionally."""
+    key = jax.random.PRNGKey(0)
+    b, r, n = 2, 32, 48
+    z = rnd.sample_stratified(jnp.zeros((b, r, 3)), 2.25, 3.3, n,
+                              rng=jax.random.PRNGKey(1))
+    w = jax.random.uniform(key, (b, r, n - 1, 1))
+    fine = rnd.sample_importance(z, w, 48, rng=jax.random.PRNGKey(2))
+    f = np.asarray(fine)[..., 0]
+    assert (np.diff(f, axis=-1) >= 0).all()
+    # coarse stratified jitter is sorted too (each sample in its bin)
+    zc = np.asarray(z)[..., 0]
+    assert (np.diff(zc, axis=-1) > 0).all()
+
+
 def test_windowed_stratified_importance_in_window():
     """sample_importance_windowed must place every fine sample inside
     its static depth window, for sharp, bimodal, and uniform densities
