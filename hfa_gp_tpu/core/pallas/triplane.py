@@ -18,16 +18,24 @@ This kernel re-expresses bilinear sampling as small matmuls per block:
     layout was measured DMA-bound: 4× redundant bytes at ~150 GB/s
     effective ate ~3.5 µs/block), and makes each DMA row a contiguous
     Sx·128·2B run.
-  * For each block, two weight matrices A/B (P × Sy/4·Sx) hold
-    one-hot(y-quad) · tri(x - px): A selects the quad containing
-    floor(py), B the quad of floor(py)+1 when different. Two MXU
-    matmuls against the slab produce x-interpolated features for all
-    4 rows of each quad; a cheap (P, 32) epilogue applies the y
-    triangle weights. This is EXACTLY bilinear with grid_sample's
-    zeros padding: out-of-plane corners match no slab texel (x) or no
-    quad row (y) and contribute 0.
+  * For each block, ONE weight matrix W (Sy/4·Sx × P) holds
+    one-hot(y-quad) · tri(x - px), anchored on the quad containing
+    floor(py) (clamped to quad 0 so the top plane edge keeps its
+    in-plane corner). Two MXU matmuls — W against the slab and W
+    against a ONE-QUAD-SHIFTED view of the same slab — produce
+    x-interpolated features for rows 0..3 of the anchor quad plus the
+    straddling row 4; a cheap (C, P) epilogue applies the 5 y-triangle
+    weights. Slabs carry Sy/4 + 1 quad rows so the shifted view always
+    exists; `quad_pack_planes` appends one ZERO quad row at the plane
+    bottom so edge slabs stay in-bounds and off-plane rows read zeros.
+    This is EXACTLY bilinear with grid_sample's zeros padding:
+    out-of-plane corners match no slab texel (x) or carry zero
+    triangle weight / read the zero pad (y) and contribute 0.
   * vs one direct (P × Sy·Sx) @ (Sy·Sx × 128) matmul, the quad split
-    halves MXU work and quarters the VPU weight-build.
+    halves MXU work and quarters the VPU weight-build; the shifted-slab
+    trick (r3) then removes the SECOND weight build entirely — the
+    (K4, P) compare/select/cast chain was the kernel's VPU bottleneck
+    (CLAUDE.md: v5e VPU is 1024 elem-ops/cycle).
 
 Weights and slab are bf16 (fp32 accumulation); max abs error vs the
 fp32 XLA path is ~2e-2 on unit-scale features — below the bf16 trunk
@@ -152,12 +160,16 @@ def _unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
 
 
 def quad_pack_planes(planes: jax.Array) -> jax.Array:
-    """(B, 3, H, W, C) → (B·3, H/4, W, 4C) with 4 consecutive y-rows
-    stacked into channels (the kernel's HBM layout)."""
+    """(B, 3, H, W, C) → (B·3, H/4 + 1, W, 4C) with 4 consecutive
+    y-rows stacked into channels (the kernel's HBM layout), plus ONE
+    zero quad row appended at the bottom: slab DMAs read Sy/4 + 1 quad
+    rows (the shifted-view trick), and the pad both keeps bottom-edge
+    slabs in-bounds and supplies grid_sample's zeros for row H."""
     b, n3, h, w, c = planes.shape
     x = planes.reshape(b * n3, h // 4, 4, w, c)
     x = x.transpose(0, 1, 3, 2, 4)
-    return x.reshape(b * n3, h // 4, w, 4 * c)
+    x = x.reshape(b * n3, h // 4, w, 4 * c)
+    return jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
 
 def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
@@ -192,8 +204,11 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
 
     txy = _block_coords(texel, plan)                       # (NB, 2, P)
     mn = jnp.floor(jnp.min(txy, axis=2))                   # (NB, 2) [x, y]
-    mx = jnp.ceil(jnp.max(txy, axis=2)) + 1.0              # +1 bilinear apron
-    size = jnp.asarray([sx, sy], jnp.float32)
+    mx = jnp.floor(jnp.max(txy, axis=2)) + 2.0             # +1 bilinear apron
+    # y coverage is sy + 1 rows: the anchor quad row floor(py) must sit
+    # in the slab's sy rows, and row floor(py)+1 is reached through the
+    # one-quad-shifted matmul view (the slab DMA carries sy/4 + 1 quads)
+    size = jnp.asarray([sx, sy + 1], jnp.float32)
     align = np.array([x_align, Y_ALIGN], np.int32)
     # align the slab's left/top edge DOWN from the footprint min: the
     # low side is always covered; the high side is covered whenever the
@@ -238,7 +253,8 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
         oy4 = (word >> 10) & 0x3FF
         ox = pl.multiple_of(word & 0x3FF, x_align)
         return pltpu.make_async_copy(
-            planes_ref.at[word >> 20, pl.ds(oy4, sy4), pl.ds(ox, slab_x), :],
+            planes_ref.at[word >> 20, pl.ds(oy4, sy4 + 1),
+                          pl.ds(ox, slab_x), :],
             slab_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -266,41 +282,43 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
 
         px = txy_ref[gi, 0:1, :]                 # (1, P) slab-relative
         py = txy_ref[gi, 1:2, :]
-        y0 = jnp.floor(py)
-        va = jnp.floor(y0 / 4.0).astype(jnp.int32)          # quad of y0
-        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)  # quad of y0+1
+        # anchor quad = quad of floor(py), clamped to 0: for py in
+        # [-1, 0) the in-plane corner is row 0 of quad 0 and the
+        # y-triangles below zero out every other row — exactly
+        # grid_sample's zeros padding at the top edge
+        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
+            .astype(jnp.int32)
 
         # x triangle (exact bilinear in x, zeros padding beyond slab)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))        # (K4, P)
-        # fold the straddle test into vb at (1, P) cost: vb2 = -1 never
-        # matches a quad row, so wb = 0 when y0 and y0+1 share a quad
-        vb2 = jnp.where(vb != va, vb, -1)
-        # weights match the plane dtype: bf16 planes → bf16 MXU dots
-        # (fastest at the default operating point); fp32 planes (the
-        # X_ALIGN=8 narrow-slab variant) keep fp32 dots and skip the
-        # casts entirely
+        # ONE weight build (the r2 kernel built a second (K4, P)
+        # select for the quad of floor(py)+1 — the VPU bottleneck);
+        # weights match the plane dtype: bf16 planes → bf16 MXU dots,
+        # fp32 planes (X_ALIGN=8 narrow-slab variant) skip the casts
         wdt = slab_ref.dtype
         wa = jnp.where(vv == va, tx, 0.0).astype(wdt)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(wdt)
 
-        s = slab_ref[slot].reshape(k4, 4 * channels)
+        s_all = slab_ref[slot]                   # (sy4 + 1, Sx, 4C)
+        s = s_all[0:sy4].reshape(k4, 4 * channels)
+        # one-quad-shifted view, channel row 0 only: supplies the
+        # straddling row floor(py)+4·0... i.e. anchor-quad row 4
+        sn = s_all[1:sy4 + 1, :, 0:channels].reshape(k4, channels)
         # contract K4 on both: (K4, 4C) × (K4, P) → (4C, P)
         dn = (((0,), (0,)), ((), ()))
         fa = jax.lax.dot_general(s, wa, dn,
                                  preferred_element_type=jnp.float32)
-        fb = jax.lax.dot_general(s, wb, dn,
+        fb = jax.lax.dot_general(sn, wa, dn,
                                  preferred_element_type=jnp.float32)
 
-        # y triangle epilogue over the 4 rows of each quad
+        # y triangle epilogue: rows 0..3 of the anchor quad from fa,
+        # the straddle row 4 from the shifted view
         acc = jnp.zeros((channels, py.shape[1]), jnp.float32)
         vaf = va.astype(jnp.float32) * 4.0
-        vbf = vb.astype(jnp.float32) * 4.0
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
-            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
-            acc = acc + tya * fa[r * channels:(r + 1) * channels, :] \
-                + tyb * fb[r * channels:(r + 1) * channels, :]
-        out_ref[gi, :, :] = acc
+            acc = acc + tya * fa[r * channels:(r + 1) * channels, :]
+        ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
+        out_ref[gi, :, :] = acc + ty4 * fb
         return carry
 
     jax.lax.fori_loop(0, group, body, 0)
@@ -323,6 +341,7 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
     i = pl.program_id(0)
     sy4 = slab_y // 4
     k4 = sy4 * slab_x
+    c4 = 4 * channels
     base = i * group
     vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
     xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
@@ -332,7 +351,7 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF
         ox = pl.multiple_of(word & 0x3FF, x_align)
-        return grad_ref.at[word >> 20, pl.ds(oy4, sy4),
+        return grad_ref.at[word >> 20, pl.ds(oy4, sy4 + 1),
                            pl.ds(ox, slab_x), :]
 
     def body(gi, carry):
@@ -342,37 +361,38 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
 
         px = txy_ref[gi, 0:1, :]
         py = txy_ref[gi, 1:2, :]
-        y0 = jnp.floor(py)
-        va = jnp.floor(y0 / 4.0).astype(jnp.int32)
-        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
+        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
+            .astype(jnp.int32)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
-        vb2 = jnp.where(vb != va, vb, -1)
         wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(compute_dtype)
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
         vaf = va.astype(jnp.float32) * 4.0
-        vbf = vb.astype(jnp.float32) * 4.0
         ga = []
-        gb = []
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
-            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
             ga.append((tya * g).astype(compute_dtype))
-            gb.append((tyb * g).astype(compute_dtype))
         ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
-        gb4 = jnp.concatenate(gb, axis=0)
+        ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
+        g5 = (ty4 * g).astype(compute_dtype)      # (C, P) straddle row
 
-        # d slab (K4, 4C) = wa @ ga4ᵀ + wb @ gb4ᵀ  (contract P on lanes)
+        # d slab = wa @ ga4ᵀ at quads [0, sy4) + wa @ g5ᵀ at quads
+        # [1, sy4+1) channel block 0 (contract P on lanes)
         dn = (((1,), (1,)), ((), ()))
         ds = jax.lax.dot_general(wa, ga4, dn,
-                                 preferred_element_type=jnp.float32) \
-            + jax.lax.dot_general(wb, gb4, dn,
-                                  preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(wa, g5, dn,
+                                 preferred_element_type=jnp.float32)
+        zq = jnp.zeros((1, slab_x, c4), jnp.float32)
+        up = jnp.concatenate([ds.reshape(sy4, slab_x, c4), zq], axis=0)
+        dxp = jnp.concatenate(
+            [dx.reshape(sy4, slab_x, channels),
+             jnp.zeros((sy4, slab_x, 3 * channels), jnp.float32)],
+            axis=-1)
+        up = up + jnp.concatenate([zq, dxp], axis=0)
 
         rd.wait()
-        slab_ref[...] = slab_ref[...] + ds.reshape(sy4, slab_x,
-                                                   4 * channels)
+        slab_ref[...] = slab_ref[...] + up
         wr = pltpu.make_async_copy(slab_ref, region(j), sem_ref)
         wr.start()
         wr.wait()
@@ -417,39 +437,44 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
 
         px = txy_ref[gi, 0:1, :]
         py = txy_ref[gi, 1:2, :]
-        y0 = jnp.floor(py)
-        va = jnp.floor(y0 / 4.0).astype(jnp.int32)
-        vb = jnp.floor((y0 + 1.0) / 4.0).astype(jnp.int32)
+        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
+            .astype(jnp.int32)
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
-        vb2 = jnp.where(vb != va, vb, -1)
         wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
-        wb = jnp.where(vv == vb2, tx, 0.0).astype(compute_dtype)
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
         vaf = va.astype(jnp.float32) * 4.0
-        vbf = vb.astype(jnp.float32) * 4.0
         ga = []
-        gb = []
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
-            tyb = jnp.maximum(0.0, 1.0 - jnp.abs(vbf + r - py))
             ga.append((tya * g).astype(compute_dtype))
-            gb.append((tyb * g).astype(compute_dtype))
         ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
-        gb4 = jnp.concatenate(gb, axis=0)
+        ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
+        g5 = (ty4 * g).astype(compute_dtype)      # (C, P) straddle row
 
         dn = (((1,), (1,)), ((), ()))
         ds = jax.lax.dot_general(wa, ga4, dn,
-                                 preferred_element_type=jnp.float32) \
-            + jax.lax.dot_general(wb, gb4, dn,
-                                  preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(wa, g5, dn,
+                                 preferred_element_type=jnp.float32)
+
+        # combine into ONE full-width (sy4+1, Sx, 4C) update: ds at
+        # quads [0, sy4), dx at quads [1, sy4+1) channel block 0 (the
+        # shifted view's rows). Full-width stores avoid sub-lane-range
+        # writes, which Mosaic may not lower.
+        zq = jnp.zeros((1, slab_x, c4), jnp.float32)
+        up = jnp.concatenate([ds.reshape(sy4, slab_x, c4), zq], axis=0)
+        dxp = jnp.concatenate(
+            [dx.reshape(sy4, slab_x, channels),
+             jnp.zeros((sy4, slab_x, 3 * channels), jnp.float32)],
+            axis=-1)
+        up = up + jnp.concatenate([zq, dxp], axis=0)
 
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF
         ox = pl.multiple_of(word & 0x3FF, x_align)
-        cur = acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :]
-        acc_ref[pl.ds(oy4, sy4), pl.ds(ox, slab_x), :] = \
-            cur + ds.reshape(sy4, slab_x, c4)
+        cur = acc_ref[pl.ds(oy4, sy4 + 1), pl.ds(ox, slab_x), :]
+        acc_ref[pl.ds(oy4, sy4 + 1), pl.ds(ox, slab_x), :] = cur + up
 
         @pl.when(jax.lax.rem(j + 1, blocks_per_plane) == 0)
         def _():
@@ -467,7 +492,7 @@ def sample_blocked(plan: BlockPlan, txy: jax.Array, origins: jax.Array,
                    planes_quad: jax.Array, *, group: int = 8,
                    interpret: bool = False) -> jax.Array:
     """Differentiable windowed sampling: txy (NB,2,P) slab-relative,
-    origins (NB,) packed int32, planes_quad (B3, H/4, W, 4C) from
+    origins (NB,) packed int32, planes_quad (B3, H/4+1, W, 4C) from
     quad_pack_planes → (NB, C, P) fp32 features (lane-major in P).
 
     Gradients flow to planes_quad only (the op is linear in it; the
@@ -512,8 +537,9 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
                          group: int = 8,
                          interpret: bool = False) -> jax.Array:
     """Forward pallas_call (see sample_blocked)."""
-    b3, h4, w_, c4 = planes_quad.shape
-    assert h4 * 4 == w_ == plan.plane_hw, (planes_quad.shape, plan)
+    b3, h4p, w_, c4 = planes_quad.shape
+    # h4p includes quad_pack_planes' one zero pad quad row
+    assert (h4p - 1) * 4 == w_ == plan.plane_hw, (planes_quad.shape, plan)
     assert c4 % 4 == 0
     c = c4 // 4
     nb, _, p = txy.shape
@@ -535,7 +561,7 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
         out_specs=pl.BlockSpec((group, c, p), lambda i, org: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, sy // 4, sx, c4), planes_quad.dtype),
+            pltpu.VMEM((2, sy // 4 + 1, sx, c4), planes_quad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -547,9 +573,10 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_pad, c, p), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * p * (sy // 4) * sx * c4 * 2,
+            flops=2 * nb * p * (sy // 4) * sx * (c4 + c) * 2,
             bytes_accessed=nb * (p * (sy // 4) * sx * 2 * 2
-                                 + (sy // 4) * sx * c4 * 2 + p * c * 4),
+                                 + (sy // 4 + 1) * sx * c4 * 2
+                                 + p * c * 4),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -567,7 +594,9 @@ def _sample_blocked_bwd(plan: BlockPlan, txy: jax.Array,
                         planes_shape: tuple, *, group: int = 8,
                         interpret: bool = False,
                         compute_dtype=jnp.bfloat16) -> jax.Array:
-    """d(sample_blocked)/d(planes_quad) → (B3, H/4, W, 4C) fp32.
+    """d(sample_blocked)/d(planes_quad) → (B3, H/4+1, W, 4C) fp32
+    (the pad quad row's gradient is sliced off by quad_pack_planes'
+    AD transpose).
 
     Fast path (_sampler_bwd_kernel_vmem): a full-plane fp32 VMEM
     accumulator, one HBM write per PLANE. Fallback
@@ -660,7 +689,7 @@ def _sample_blocked_bwd_hbm(plan: BlockPlan, txy: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((sy // 4, sx, c4), jnp.float32),
+            pltpu.VMEM((sy // 4 + 1, sx, c4), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -77,6 +77,43 @@ def test_windowed_sampler_zero_padding_semantics():
                                atol=4e-2, rtol=0)
 
 
+def test_windowed_sampler_y_edge_rows():
+    """Deterministic probes of the shifted-view scheme's y edges:
+    py in [-1, 0) (in-plane corner is row 0 via the CLAMPED anchor
+    quad), py in [hw-1, hw) (row hw-1 via the anchor quad, row hw via
+    the zero pad quad), and quad-straddling rows (py in [3, 4))."""
+    hw, c = 64, 32
+    res, n_depth = 4, 2
+    planes = jax.random.normal(jax.random.PRNGKey(11),
+                               (1, 3, hw, hw, c), jnp.float32)
+    # build world points whose xy-plane texel coords hit chosen py rows:
+    # texel = (x_world + 1) * hw/2 - 0.5  (box_warp=2 → coords pass
+    # through unchanged)
+    pys = np.array([-0.75, -0.25, 0.3, 3.5, 3.99, 4.01,
+                    hw - 1.5, hw - 1.01, hw - 0.5, hw - 0.25,
+                    2.0, 17.25, hw / 2, -1.5, float(hw), 30.0],
+                   np.float32).reshape(res, res)
+    pxs = np.linspace(5.0, hw - 6.0, res * res,
+                      dtype=np.float32).reshape(res, res) + 0.37
+    to_world = lambda t: (t + 0.5) * 2.0 / hw - 1.0
+    pts = np.zeros((1, res, res, n_depth, 3), np.float32)
+    for d in range(n_depth):
+        pts[0, :, :, d, 0] = to_world(pxs + 0.1 * d)
+        pts[0, :, :, d, 1] = to_world(pys + 0.2 * d)
+        pts[0, :, :, d, 2] = 0.0
+    coords = jnp.asarray(pts.reshape(1, -1, 3))
+
+    ref = rnd.sample_from_planes(planes, coords, box_warp=2.0)
+    got = tp.sample_from_planes_windowed(
+        planes, coords, 2.0, rnd._PLANE_INV, res=res, n_depth=n_depth,
+        tile=4, depth_window=2, slab=(64, 64), dtype=jnp.float32,
+        interpret=True)
+    # fp32 dots: exact to float tolerance, including every edge row
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert float(jnp.mean(jnp.abs(ref))) > 0.05
+
+
 def test_plan_blocks_overflow_flag():
     """Blocks with a footprint wider than the slab are flagged."""
     res, n_depth, hw = 4, 2, 256
