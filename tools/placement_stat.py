@@ -10,8 +10,14 @@ generators/poses both ways and reports a PSNR-style distribution of the
 image delta, so the perf default's quality cost is a measured number,
 not a bound argument.
 
+The two variants differ ONLY in the fine-depth placement function —
+both render through the exact fp32 XLA sampling backend
+(renderer._render_core), so the statistic isolates PLACEMENT from the
+Pallas/bf16 sampling deltas (those are bounded separately in
+tests/test_pallas_triplane.py). Backend-independent by construction:
+runs identically on CPU and TPU.
+
 Usage: python tools/placement_stat.py [n_gen] [size]
-Writes a summary line; run on the TPU (CPU works but is slow).
 """
 
 import os
@@ -21,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import dataclasses
+from unittest import mock
 
 import numpy as np
 
@@ -39,25 +46,34 @@ def main():
                                                   init_generator,
                                                   synthesis)
 
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-
     base = EG3DConfig(
         backbone=nets.BackboneConfig(img_resolution=256),
         render=rnd.RenderConfig(
             neural_rendering_resolution=size,
-            use_pallas_sampler=on_tpu,
-            pallas_interpret=not on_tpu))
-    cfg_s = dataclasses.replace(
-        base, render=dataclasses.replace(base.render,
-                                         sampler_fine="stratified"))
-    cfg_x = dataclasses.replace(
-        base, render=dataclasses.replace(base.render, sampler_fine="xla"))
+            use_pallas_sampler=False))      # exact fp32 XLA backend
+    cfg = base
+    rcfg = base.render
+    dw = rcfg.sampler_depth_window
+    n_fine = rcfg.depth_resolution_importance
+    assert n_fine % dw == 0
+
+    def windowed_placement(z_vals, weights, n_importance, rng=None):
+        # the windowed-stratified policy, shape-compatible with
+        # renderer.sample_importance so it can stand in for it
+        assert n_importance == n_fine
+        return rnd.sample_importance_windowed(
+            z_vals, weights, n_windows=n_fine // dw, n_per=dw,
+            ray_start=rcfg.ray_start, ray_end=rcfg.ray_end, rng=rng)
 
     @jax.jit
-    def render_both(params, ws, label):
-        a = synthesis(params, cfg_s, ws, label)["image_raw"]
-        b = synthesis(params, cfg_x, ws, label)["image_raw"]
-        return a, b
+    def render_ref(params, ws, label):
+        return synthesis(params, cfg, ws, label)["image_raw"]
+
+    def render_strat_traced(params, ws, label):
+        with mock.patch.object(rnd, "sample_importance",
+                               windowed_placement):
+            return jax.jit(synthesis, static_argnums=1)(
+                params, cfg, ws, label)["image_raw"]
 
     psnrs = []
     for i in range(n_gen):
@@ -66,14 +82,17 @@ def main():
         ws = jax.random.normal(kw, (1, base.num_ws, 512))
         label = camera.flip_yz_label(camera.sample_camera_label(
             kc, n=1, mode="gaussian"))
-        a, b = render_both(params, ws, jnp.asarray(label))
+        label = jnp.asarray(label)
+        a = render_strat_traced(params, ws, label)
+        b = render_ref(params, ws, label)
         mse = float(jnp.mean((a - b) ** 2))
         psnrs.append(10 * np.log10(4.0 / max(mse, 1e-12)))
         print(f"gen {i}: psnr={psnrs[-1]:.2f} dB", flush=True)
 
     arr = np.asarray(psnrs)
-    print(f"stratified-vs-xla fine placement over {n_gen} random "
-          f"generators x gaussian poses ({size}px raw): "
+    print(f"stratified-vs-global fine placement over {n_gen} random "
+          f"generators x gaussian poses ({size}px raw, exact fp32 XLA "
+          f"backend both sides): "
           f"psnr mean={arr.mean():.2f} dB  min={arr.min():.2f}  "
           f"p5={np.percentile(arr, 5):.2f}  max={arr.max():.2f}",
           flush=True)
