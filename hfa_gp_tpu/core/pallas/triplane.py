@@ -222,10 +222,18 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     lim = float(plane_hw)
     overflow = jnp.any((jnp.clip(mn, 0, lim) < orgf)
                        | (jnp.clip(mx, 0, lim) > orgf + size), axis=-1)
-    # clip degenerate coords (inf/nan-free guarantee for the kernel)
-    txy = jnp.clip(txy, -2.0 * plane_hw, 2.0 * plane_hw)
     # make coords slab-relative here (saves SMEM→VPU broadcasts in-kernel)
     txy = txy - orgf[:, :, None]
+    # slab-relative clip: preserves every nonzero bilinear weight
+    # (x beyond [-1, sx] / y beyond [-1, sy+4] contributes zero either
+    # way), bounds the combined-coordinate weight build (_quad_weights
+    # needs |xx − px| ≤ sx + 3 and va ≤ sy/4 + 2), and keeps the kernel
+    # inf-free on degenerate rays
+    assert _qshift(sx) * (sy // 4 + 2) + sx + 3 <= 4096, \
+        f"slab {slab} too large for the combined-coordinate weight build"
+    lo = jnp.asarray([-4.0, -8.0], jnp.float32)
+    hi = jnp.asarray([sx + 3.0, sy + 8.0], jnp.float32)
+    txy = jnp.clip(txy, lo[None, :, None], hi[None, :, None])
     b3_idx = jnp.repeat(jnp.arange(b3, dtype=jnp.int32), nb // b3)
     # one packed scalar-prefetch word per block ((NB, 3) in SMEM would be
     # lane-padded to (NB, 128) and blow the 1MB SMEM budget at large NB)
@@ -236,6 +244,46 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
+
+def _qshift(slab_x: int) -> float:
+    """Combined-coordinate quad shift (see _quad_weights): the smallest
+    power of two ≥ slab_x + 4, so a quad mismatch pushes |d| past the
+    triangle support (needs S ≥ slab_x + 4 under plan_blocks' coord
+    clip) while keeping px + S·va small enough to round exactly."""
+    return float(1 << int(np.ceil(np.log2(slab_x + 4))))
+
+
+def _quad_weights(vv, xx, px, py, wdt, shift: float):
+    """The (K4, P) one-hot(y-quad)·tri(x) bilinear weight build — the
+    kernel's VPU-bound dominant term (CLAUDE.md: v5e VPU is 1024
+    elem-ops/cycle; everything (K4, P)-shaped here is ~66 ms/pass at
+    batch 8).
+
+    bf16 path (default): ONE triangle over a combined coordinate
+    d = (xx + S·vv) − (px + S·va), S = _qshift(slab_x). When the
+    slab row's quad vv differs from the point's anchor quad va,
+    |d| ≥ S − (sx + 3) ≥ 1 and the triangle clamps to zero — the quad
+    compare+select of the r2 build (2 of its 7 ops on the dominant
+    term) folds into the x-triangle for free. Relies on plan_blocks'
+    slab-relative coord clip (px ∈ [-4, sx+3], py ∈ [-8, sy+8]): it
+    bounds |xx − px| ≤ sx + 3 and va ≤ sy/4 + 2, so cross-quad
+    collisions are impossible and px + S·va ≤ 4096 (plan_blocks
+    asserts) rounds at ≤ 2⁻¹³ absolute — invisible under the bf16
+    weight cast.
+
+    fp32 path (the X_ALIGN=8 exactness variant): keeps the exact
+    compare/select build, bit-identical to the XLA reference.
+
+    Returns (wa (K4, P) in wdt, vaf (1, P) = 4·va fp32 anchor row)."""
+    vaq = jnp.maximum(jnp.floor(jnp.floor(py) * 0.25), 0.0)   # (1, P)
+    if jnp.dtype(wdt) == jnp.float32:
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
+        wa = jnp.where(vv == vaq.astype(jnp.int32), tx, 0.0)
+    else:
+        xq = xx + shift * vv.astype(jnp.float32)     # (K4, 1) row const
+        pq = px + shift * vaq                         # (1, P)
+        wa = jnp.maximum(0.0, 1.0 - jnp.abs(xq - pq)).astype(wdt)
+    return wa, vaq * 4.0
 
 
 def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
@@ -285,18 +333,14 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
         # anchor quad = quad of floor(py), clamped to 0: for py in
         # [-1, 0) the in-plane corner is row 0 of quad 0 and the
         # y-triangles below zero out every other row — exactly
-        # grid_sample's zeros padding at the top edge
-        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
-            .astype(jnp.int32)
-
-        # x triangle (exact bilinear in x, zeros padding beyond slab)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))        # (K4, P)
-        # ONE weight build (the r2 kernel built a second (K4, P)
-        # select for the quad of floor(py)+1 — the VPU bottleneck);
-        # weights match the plane dtype: bf16 planes → bf16 MXU dots,
-        # fp32 planes (X_ALIGN=8 narrow-slab variant) skip the casts
-        wdt = slab_ref.dtype
-        wa = jnp.where(vv == va, tx, 0.0).astype(wdt)
+        # grid_sample's zeros padding at the top edge. ONE weight
+        # build (the r2 kernel built a second (K4, P) select for the
+        # quad of floor(py)+1 — the VPU bottleneck), quad select
+        # folded into the triangle (_quad_weights); weights match the
+        # plane dtype: bf16 planes → bf16 MXU dots, fp32 planes
+        # (X_ALIGN=8 narrow-slab variant) skip the casts
+        wa, vaf = _quad_weights(vv, xx, px, py, slab_ref.dtype,
+                                _qshift(slab_x))
 
         s_all = slab_ref[slot]                   # (sy4 + 1, Sx, 4C)
         s = s_all[0:sy4].reshape(k4, 4 * channels)
@@ -313,7 +357,6 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
         # y triangle epilogue: rows 0..3 of the anchor quad from fa,
         # the straddle row 4 from the shifted view
         acc = jnp.zeros((channels, py.shape[1]), jnp.float32)
-        vaf = va.astype(jnp.float32) * 4.0
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
             acc = acc + tya * fa[r * channels:(r + 1) * channels, :]
@@ -361,13 +404,10 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
 
         px = txy_ref[gi, 0:1, :]
         py = txy_ref[gi, 1:2, :]
-        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
-            .astype(jnp.int32)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
-        wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
+        wa, vaf = _quad_weights(vv, xx, px, py, compute_dtype,
+                                _qshift(slab_x))
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
-        vaf = va.astype(jnp.float32) * 4.0
         ga = []
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
@@ -437,13 +477,10 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
 
         px = txy_ref[gi, 0:1, :]
         py = txy_ref[gi, 1:2, :]
-        va = jnp.maximum(jnp.floor(jnp.floor(py) / 4.0), 0.0) \
-            .astype(jnp.int32)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xx - px))
-        wa = jnp.where(vv == va, tx, 0.0).astype(compute_dtype)
+        wa, vaf = _quad_weights(vv, xx, px, py, compute_dtype,
+                                _qshift(slab_x))
 
         g = g_ref[gi, :, :]                       # (C, P) cotangent
-        vaf = va.astype(jnp.float32) * 4.0
         ga = []
         for r in range(4):
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
