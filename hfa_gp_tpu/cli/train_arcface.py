@@ -50,11 +50,12 @@ def main(args) -> None:
     if num_classes % n_model:
         num_classes += n_model - num_classes % n_model
     m2, m3 = (0.5, 0.0) if args.margin == "arcface" else (0.0, 0.4)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     pfc = PartialFC(mesh, num_classes, 512, m2=m2, m3=m3,
-                    sample_rate=args.sample_rate)
+                    sample_rate=args.sample_rate,
+                    matmul_dtype=None if args.fp32 else dtype)
     tx, fc_tx = arc.make_optimizers(args.num_steps, lr=args.lr,
                                     warmup_steps=args.warmup_steps)
-    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     step = arc.make_train_step(pfc, tx, fc_tx, args.network, dtype=dtype)
 
     rng = np.random.default_rng(0)

@@ -58,10 +58,15 @@ def _init_bn_stats(c):
 
 
 def _bn(p, stats, x, train: bool):
+    # stats/affine math in fp32 (torch-AMP semantics: BN is an fp32
+    # island), output back in the activation dtype so the surrounding
+    # convs stay on the bf16 MXU path — the fp32 affine used to promote
+    # every block to fp32 convs (≈4× MXU cost on a v5e)
+    xf = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         new_stats = {
             "mean": (1 - _BN_MOMENTUM) * stats["mean"] + _BN_MOMENTUM * mean,
             "var": (1 - _BN_MOMENTUM) * stats["var"] + _BN_MOMENTUM * var,
@@ -69,12 +74,13 @@ def _bn(p, stats, x, train: bool):
     else:
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
-    y = (x - mean) * jax.lax.rsqrt(var + _BN_EPS)
-    return y * p["scale"] + p["bias"], new_stats
+    y = (xf - mean) * jax.lax.rsqrt(var + _BN_EPS)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype), new_stats
 
 
 def _prelu(p, x):
-    return jnp.where(x >= 0, x, p["alpha"] * x)
+    return jnp.where(x >= 0, x, p["alpha"].astype(x.dtype) * x)
 
 
 def _conv(x, w, stride=1):
@@ -104,15 +110,16 @@ def _init_block(key, cin, cout, stride):
 
 
 def _block(p, st, x, stride, train):
+    dt = x.dtype
     out, s1 = _bn(p["bn1"], st["bn1"], x, train)
-    out = _conv(out, p["conv1"])
+    out = _conv(out, p["conv1"].astype(dt))
     out, s2 = _bn(p["bn2"], st["bn2"], out, train)
     out = _prelu(p["prelu"], out)
-    out = _conv(out, p["conv2"], stride)
+    out = _conv(out, p["conv2"].astype(dt), stride)
     out, s3 = _bn(p["bn3"], st["bn3"], out, train)
     new_st = {"bn1": s1, "bn2": s2, "bn3": s3}
     if "down_conv" in p:
-        idn = _conv(x, p["down_conv"], stride)
+        idn = _conv(x, p["down_conv"].astype(dt), stride)
         idn, sd = _bn(p["down_bn"], st["down_bn"], idn, train)
         new_st["down_bn"] = sd
     else:

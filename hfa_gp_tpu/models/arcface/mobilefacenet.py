@@ -42,16 +42,19 @@ def _init_bn(c):
 
 
 def _bn(p, st, x, train):
+    # fp32 stats/affine island, output back in the activation dtype so
+    # the convs stay on the bf16 MXU path (torch-AMP semantics)
+    xf = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean, var = jnp.mean(x, axis=axes), jnp.var(x, axis=axes)
+        mean, var = jnp.mean(xf, axis=axes), jnp.var(xf, axis=axes)
         new = {"mean": (1 - _BN_MOMENTUM) * st["mean"] + _BN_MOMENTUM * mean,
                "var": (1 - _BN_MOMENTUM) * st["var"] + _BN_MOMENTUM * var}
     else:
         mean, var = st["mean"], st["var"]
         new = st
-    return (x - mean) * jax.lax.rsqrt(var + _BN_EPS) * p["scale"] \
-        + p["bias"], new
+    y = (xf - mean) * jax.lax.rsqrt(var + _BN_EPS) * p["scale"] + p["bias"]
+    return y.astype(x.dtype), new
 
 
 def _conv(x, w, stride=1, groups=1, pad=None):
@@ -73,10 +76,10 @@ def _init_cb(key, k, cin, cout, groups=1, prelu=True):
 
 
 def _cb(p, st, x, stride=1, groups=1, train=False, pad=None):
-    y = _conv(x, p["w"], stride, groups, pad)
+    y = _conv(x, p["w"].astype(x.dtype), stride, groups, pad)
     y, new = _bn(p["bn"], st["bn"], y, train)
     if "prelu" in p:
-        y = jnp.where(y >= 0, y, p["prelu"]["alpha"] * y)
+        y = jnp.where(y >= 0, y, p["prelu"]["alpha"].astype(y.dtype) * y)
     return y, {"bn": new}
 
 
@@ -131,10 +134,12 @@ def init_mobilefacenet(key: jax.Array, embedding_dim: int = 512,
 
 
 def mobilefacenet_apply(params: Params, batch_stats: Params, x: jax.Array,
-                        *, name: str = "mbf", train: bool = False):
+                        *, name: str = "mbf", train: bool = False,
+                        dtype=jnp.float32):
     """x (B, 112, 112, 3) → (B, embedding_dim) [, new_batch_stats]."""
     blocks, scale = MBF_CONFIGS[name]
     arch = _arch(blocks, scale)
+    x = x.astype(dtype)
     new: Params = {}
     h, new["stem"] = _cb(params["stem"], batch_stats["stem"], x, stride=2,
                          train=train)
@@ -155,9 +160,10 @@ def mobilefacenet_apply(params: Params, batch_stats: Params, x: jax.Array,
     h, new["head_gdw"] = _cb(params["head_gdw"], batch_stats["head_gdw"],
                              h, groups=512, train=train, pad=0)
     h = h.reshape(h.shape[0], -1)
-    h = h @ params["fc"]["weight"].T
+    h = h @ params["fc"]["weight"].astype(h.dtype).T
     h, new["feat_bn"] = _bn(params["feat_bn"], batch_stats["feat_bn"], h,
                             train)
+    h = h.astype(jnp.float32)
     if train:
         return h, new
     return h

@@ -61,7 +61,8 @@ def backbone_apply(name: str, params: Params, batch_stats: Params,
                                      train=train, dtype=dtype)
     if name in mobilefacenet.MBF_CONFIGS:
         return mobilefacenet.mobilefacenet_apply(params, batch_stats, x,
-                                                 name=name, train=train)
+                                                 name=name, train=train,
+                                                 dtype=dtype)
     if name in vit.VIT_CONFIGS:
         if train and rng is None:
             rng = jax.random.PRNGKey(0)

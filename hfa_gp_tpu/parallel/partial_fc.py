@@ -65,15 +65,26 @@ def cosface_margin(target_logit: jax.Array, m: float = 0.4) -> jax.Array:
 
 def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
                        local_lab: jax.Array, s: float, m1: float,
-                       m2: float, m3: float) -> jax.Array:
+                       m2: float, m3: float,
+                       mm_dtype=None) -> jax.Array:
     """Inside shard_map: emb (B, d) global batch, w_used (rows, d) this
     shard's class centers (full or sampled), local_lab (B,) column of
     each row's positive in w_used or −1. Margin on the target column,
     then the distributed softmax CE (pmax/psum over the model axis —
-    reference DistCrossEntropy, partial_fc.py:441-498). Returns (1,)."""
+    reference DistCrossEntropy, partial_fc.py:441-498). Returns (1,).
+
+    mm_dtype: dtype of the (B, d)×(d, rows) cosine matmul operands
+    (fp32 accumulation). bf16 is the reference's AMP-fp16 analog — at
+    1M ids the fp32 logits matmul is MXU-bound at 1/4 peak; norms,
+    margin and softmax stay fp32 either way."""
     norm_emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
     norm_w = w_used / jnp.linalg.norm(w_used, axis=1, keepdims=True)
-    logits = jnp.clip(norm_emb @ norm_w.T, -1.0, 1.0)
+    if mm_dtype is not None:
+        norm_emb = norm_emb.astype(mm_dtype)
+        norm_w = norm_w.astype(mm_dtype)
+    logits = jnp.dot(norm_emb, norm_w.T,
+                     preferred_element_type=jnp.float32)
+    logits = jnp.clip(logits, -1.0, 1.0)
 
     b = logits.shape[0]
     rows = jnp.arange(b)
@@ -116,7 +127,7 @@ class PartialFC:
     def __init__(self, mesh: Mesh, num_classes: int,
                  embedding_dim: int = 512, *, s: float = 64.0,
                  m1: float = 1.0, m2: float = 0.5, m3: float = 0.0,
-                 sample_rate: float = 1.0):
+                 sample_rate: float = 1.0, matmul_dtype=None):
         self.mesh = mesh
         self.n_model = mesh.shape[MODEL_AXIS]
         self.n_data = mesh.shape[DATA_AXIS]
@@ -126,6 +137,8 @@ class PartialFC:
         self.num_local = num_classes // self.n_model
         self.embedding_dim = embedding_dim
         self.s, self.m1, self.m2, self.m3 = s, m1, m2, m3
+        # bf16 cosine matmuls w/ fp32 accumulation = the reference's AMP
+        self.matmul_dtype = matmul_dtype
         self.sample_rate = sample_rate
         self.num_sample = max(1, int(sample_rate * self.num_local))
 
@@ -220,6 +233,7 @@ class PartialFC:
         w_sub — the only weight gradient that ever exists."""
         num_local, num_sample = self.num_local, self.num_sample
         s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
+        mm_dtype = self.matmul_dtype
 
         def shard_fn(w_local, emb_local, lab_local, idx_local):
             emb = jax.lax.all_gather(emb_local, DATA_AXIS, axis=0,
@@ -238,7 +252,7 @@ class PartialFC:
                 remap, 0, num_sample - 1)] == local_lab)
             local_lab = jnp.where(hit, remap, -1)
             return _margin_softmax_ce(emb, w_local, local_lab,
-                                      s, m1, m2, m3)
+                                      s, m1, m2, m3, mm_dtype)
 
         fn = shard_map(
             shard_fn, mesh=self.mesh,
@@ -259,6 +273,7 @@ class PartialFC:
         num_sample = self.num_sample
         sampled = self.sample_rate < 1.0
         s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
+        mm_dtype = self.matmul_dtype
 
         def shard_fn(w_local, emb_local, lab_local, key):
             # all-gather the DP batch so every model shard sees the global
@@ -297,7 +312,7 @@ class PartialFC:
                 w_used = w_local
 
             return _margin_softmax_ce(emb, w_used, local_lab,
-                                      s, m1, m2, m3)
+                                      s, m1, m2, m3, mm_dtype)
 
         if sample_key is None:
             sample_key = jax.random.PRNGKey(0)

@@ -35,7 +35,7 @@ def run(num_classes: int, sample_rate: float, steps: int) -> float:
     mesh = mesh_mod.make_mesh(n_data=1, n_model=1,
                               devices=jax.devices()[:1])
     pfc = PartialFC(mesh, num_classes=num_classes, embedding_dim=512,
-                    sample_rate=sample_rate)
+                    sample_rate=sample_rate, matmul_dtype=jnp.bfloat16)
     tx, fc_tx = arc.make_optimizers(total_steps=10_000, lr=0.1)
     step = arc.make_train_step(pfc, tx, fc_tx, NETWORK,
                                dtype=jnp.bfloat16, donate=True)
