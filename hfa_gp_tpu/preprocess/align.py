@@ -54,16 +54,17 @@ def resize_n_crop_img(img: Image.Image, lm: np.ndarray, t, s,
                       target_size: float = TARGET_SIZE):
     """(crop_images.py:43-62)."""
     w0, h0 = img.size
+    tx, ty = (float(v) for v in np.ravel(t)[:2])
     w = np.int32(w0 * s)
     h = np.int32(h0 * s)
-    left = np.int32(w / 2 - target_size / 2 + float((t[0] - w0 / 2) * s))
+    left = np.int32(w / 2 - target_size / 2 + (tx - w0 / 2) * s)
     right = left + target_size
-    up = np.int32(h / 2 - target_size / 2 + float((h0 / 2 - t[1]) * s))
+    up = np.int32(h / 2 - target_size / 2 + (h0 / 2 - ty) * s)
     below = up + target_size
     img = img.resize((int(w), int(h)), resample=Image.LANCZOS)
     img = img.crop((int(left), int(up), int(right), int(below)))
-    lm = np.stack([lm[:, 0] - t[0].item() + w0 / 2,
-                   lm[:, 1] - t[1].item() + h0 / 2], axis=1) * s
+    lm = np.stack([lm[:, 0] - tx + w0 / 2,
+                   lm[:, 1] - ty + h0 / 2], axis=1) * s
     lm = lm - np.array([[w / 2 - target_size / 2,
                          h / 2 - target_size / 2]])
     return img, lm
