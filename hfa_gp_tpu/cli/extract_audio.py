@@ -33,10 +33,21 @@ def load_wav(path: str) -> tuple[np.ndarray, int]:
         width = f.getsampwidth()
         ch = f.getnchannels()
         raw = f.readframes(n)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    audio = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-    if width == 1:
-        audio = audio - 128.0
+    if width == 3:
+        # 24-bit PCM: sign-extend each little-endian triple into int32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        audio = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+                 ).astype(np.float32)
+    elif width in (1, 2, 4):
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        audio = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            audio = audio - 128.0
+    else:
+        raise ValueError(f"unsupported wav sample width {width} bytes "
+                         f"(supported: 8/16/24/32-bit PCM)")
     if ch > 1:
         audio = audio.reshape(-1, ch).mean(axis=1)
     return audio, sr

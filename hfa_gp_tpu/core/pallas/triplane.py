@@ -367,6 +367,37 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
     jax.lax.fori_loop(0, group, body, 0)
 
 
+def _bwd_slab_update(wa, vaf, py, g, *, slab_x: int, sy4: int,
+                     channels: int, compute_dtype):
+    """Shared backward cotangent assembly: the (sy4+1, Sx, 4C) slab
+    update d slab = wa @ (y-folded g)ᵀ, with the anchor-quad rows ds at
+    quads [0, sy4) and the straddle row dx at quads [1, sy4+1) channel
+    block 0 (the shifted view's rows). Used by both the VMEM-accumulator
+    fast path and the HBM-RMW fallback — keep them in lockstep here."""
+    c4 = 4 * channels
+    ga = []
+    for r in range(4):
+        tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
+        ga.append((tya * g).astype(compute_dtype))
+    ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
+    ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
+    g5 = (ty4 * g).astype(compute_dtype)      # (C, P) straddle row
+
+    dn = (((1,), (1,)), ((), ()))
+    ds = jax.lax.dot_general(wa, ga4, dn,
+                             preferred_element_type=jnp.float32)
+    dx = jax.lax.dot_general(wa, g5, dn,
+                             preferred_element_type=jnp.float32)
+    # full-width stores only: sub-lane-range writes may not lower
+    zq = jnp.zeros((1, slab_x, c4), jnp.float32)
+    up = jnp.concatenate([ds.reshape(sy4, slab_x, c4), zq], axis=0)
+    dxp = jnp.concatenate(
+        [dx.reshape(sy4, slab_x, channels),
+         jnp.zeros((sy4, slab_x, 3 * channels), jnp.float32)],
+        axis=-1)
+    return up + jnp.concatenate([zq, dxp], axis=0)
+
+
 def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
                         slab_ref, sem_ref, *, slab_y: int, slab_x: int,
                         channels: int, group: int, n_blocks: int,
@@ -384,7 +415,6 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
     i = pl.program_id(0)
     sy4 = slab_y // 4
     k4 = sy4 * slab_x
-    c4 = 4 * channels
     base = i * group
     vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
     xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
@@ -406,30 +436,9 @@ def _sampler_bwd_kernel_hbm(origins_ref, txy_ref, g_ref, zeros_ref, grad_ref,
         py = txy_ref[gi, 1:2, :]
         wa, vaf = _quad_weights(vv, xx, px, py, compute_dtype,
                                 _qshift(slab_x))
-
-        g = g_ref[gi, :, :]                       # (C, P) cotangent
-        ga = []
-        for r in range(4):
-            tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
-            ga.append((tya * g).astype(compute_dtype))
-        ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
-        ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
-        g5 = (ty4 * g).astype(compute_dtype)      # (C, P) straddle row
-
-        # d slab = wa @ ga4ᵀ at quads [0, sy4) + wa @ g5ᵀ at quads
-        # [1, sy4+1) channel block 0 (contract P on lanes)
-        dn = (((1,), (1,)), ((), ()))
-        ds = jax.lax.dot_general(wa, ga4, dn,
-                                 preferred_element_type=jnp.float32)
-        dx = jax.lax.dot_general(wa, g5, dn,
-                                 preferred_element_type=jnp.float32)
-        zq = jnp.zeros((1, slab_x, c4), jnp.float32)
-        up = jnp.concatenate([ds.reshape(sy4, slab_x, c4), zq], axis=0)
-        dxp = jnp.concatenate(
-            [dx.reshape(sy4, slab_x, channels),
-             jnp.zeros((sy4, slab_x, 3 * channels), jnp.float32)],
-            axis=-1)
-        up = up + jnp.concatenate([zq, dxp], axis=0)
+        up = _bwd_slab_update(wa, vaf, py, g_ref[gi, :, :],
+                              slab_x=slab_x, sy4=sy4, channels=channels,
+                              compute_dtype=compute_dtype)
 
         rd.wait()
         slab_ref[...] = slab_ref[...] + up
@@ -462,7 +471,6 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
     i = pl.program_id(0)
     sy4 = slab_y // 4
     k4 = sy4 * slab_x
-    c4 = 4 * channels
     base = i * group
     vv = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0) // slab_x
     xx = (jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
@@ -479,33 +487,9 @@ def _sampler_bwd_kernel_vmem(origins_ref, txy_ref, g_ref, out_ref,
         py = txy_ref[gi, 1:2, :]
         wa, vaf = _quad_weights(vv, xx, px, py, compute_dtype,
                                 _qshift(slab_x))
-
-        g = g_ref[gi, :, :]                       # (C, P) cotangent
-        ga = []
-        for r in range(4):
-            tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
-            ga.append((tya * g).astype(compute_dtype))
-        ga4 = jnp.concatenate(ga, axis=0)         # (4C, P)
-        ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
-        g5 = (ty4 * g).astype(compute_dtype)      # (C, P) straddle row
-
-        dn = (((1,), (1,)), ((), ()))
-        ds = jax.lax.dot_general(wa, ga4, dn,
-                                 preferred_element_type=jnp.float32)
-        dx = jax.lax.dot_general(wa, g5, dn,
-                                 preferred_element_type=jnp.float32)
-
-        # combine into ONE full-width (sy4+1, Sx, 4C) update: ds at
-        # quads [0, sy4), dx at quads [1, sy4+1) channel block 0 (the
-        # shifted view's rows). Full-width stores avoid sub-lane-range
-        # writes, which Mosaic may not lower.
-        zq = jnp.zeros((1, slab_x, c4), jnp.float32)
-        up = jnp.concatenate([ds.reshape(sy4, slab_x, c4), zq], axis=0)
-        dxp = jnp.concatenate(
-            [dx.reshape(sy4, slab_x, channels),
-             jnp.zeros((sy4, slab_x, 3 * channels), jnp.float32)],
-            axis=-1)
-        up = up + jnp.concatenate([zq, dxp], axis=0)
+        up = _bwd_slab_update(wa, vaf, py, g_ref[gi, :, :],
+                              slab_x=slab_x, sy4=sy4, channels=channels,
+                              compute_dtype=compute_dtype)
 
         word = origins_ref[j]
         oy4 = (word >> 10) & 0x3FF

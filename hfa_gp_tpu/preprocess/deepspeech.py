@@ -182,32 +182,50 @@ def _clipped_relu(x):
     return jnp.minimum(jnp.maximum(x, 0.0), 20.0)
 
 
-def _lstm_scan(p: Params, xs: jax.Array, reverse: bool = False):
+def _lstm_scan(p: Params, xs: jax.Array, reverse: bool = False,
+               real: jax.Array | None = None):
     """BasicLSTMCell over time: xs (T, F) → hidden states (T, units).
-    TF gate order (i, j, f, o), forget_bias=1.0, tanh activations."""
+    TF gate order (i, j, f, o), forget_bias=1.0, tanh activations.
+
+    `real` (T,) bool marks true-utterance steps: pad steps pass the
+    carry through unchanged, so a length-bucket zero pad at the tail
+    cannot leak into real outputs (critical for reverse=True, where
+    the scan consumes the pad BEFORE the utterance)."""
     units = p["kernel"].shape[1] // 4
 
-    def cell(carry, x):
-        c, h = carry
-        z = jnp.concatenate([x, h]) @ p["kernel"] + p["bias"]
+    def cell(carry, inp):
+        x, r = inp
+        c0, h0 = carry
+        z = jnp.concatenate([x, h0]) @ p["kernel"] + p["bias"]
         i, j, f, o = jnp.split(z, 4)
-        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
+        c = jax.nn.sigmoid(f + 1.0) * c0 + jax.nn.sigmoid(i) * jnp.tanh(j)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        c = jnp.where(r, c, c0)
+        h = jnp.where(r, h, h0)
         return (c, h), h
 
+    if real is None:
+        real = jnp.ones((xs.shape[0],), bool)
     init = (jnp.zeros(units), jnp.zeros(units))
-    _, hs = jax.lax.scan(cell, init, xs, reverse=reverse)
+    _, hs = jax.lax.scan(cell, init, (xs, real), reverse=reverse)
     return hs
 
 
 @jax.jit
-def deepspeech_apply(params: Params, x: jax.Array) -> jax.Array:
-    """x (T, 494) context vectors → (T, 29) logits."""
+def deepspeech_apply(params: Params, x: jax.Array,
+                     t: jax.Array | int | None = None) -> jax.Array:
+    """x (T, 494) context vectors → (T, 29) logits. `t` = true
+    utterance length when x carries a length-bucket tail pad (rows
+    ≥ t are masked out of both LSTM carries; outputs there are
+    meaningless and should be sliced off)."""
+    if t is None:
+        t = x.shape[0]
+    real = jnp.arange(x.shape[0]) < t
     h = _clipped_relu(x @ params["h1"]["weight"] + params["h1"]["bias"])
     h = _clipped_relu(h @ params["h2"]["weight"] + params["h2"]["bias"])
     h = _clipped_relu(h @ params["h3"]["weight"] + params["h3"]["bias"])
-    fw = _lstm_scan(params["lstm_fw"], h)
-    bw = _lstm_scan(params["lstm_bw"], h, reverse=True)
+    fw = _lstm_scan(params["lstm_fw"], h, real=real)
+    bw = _lstm_scan(params["lstm_bw"], h, reverse=True, real=real)
     h = jnp.concatenate([fw, bw], axis=-1)
     h = _clipped_relu(h @ params["h5"]["weight"] + params["h5"]["bias"])
     return h @ params["logits"]["weight"] + params["logits"]["bias"]
@@ -261,7 +279,7 @@ def extract_features(params: Params, audio: np.ndarray,
     if t_pad != t:
         vec = np.concatenate(
             [vec, np.zeros((t_pad - t, vec.shape[1]), np.float32)])
-    logits = np.asarray(deepspeech_apply(params, jnp.asarray(vec)))[:t]
+    logits = np.asarray(deepspeech_apply(params, jnp.asarray(vec), t))[:t]
     if n_frames is None:
         n_frames = int(t * fps / 50.0)
     resampled = interpolate_features(logits, 50.0, fps, n_frames)

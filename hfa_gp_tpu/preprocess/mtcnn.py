@@ -249,11 +249,15 @@ _onet_jit = jax.jit(onet_apply)
 
 
 def _bucket(n: int) -> int:
-    """Smallest static batch bucket holding n candidates."""
+    """Smallest static batch bucket holding n candidates. Above the
+    largest predefined bucket (max_candidates > CANDIDATE_BUCKETS[-1]),
+    round up to the next multiple of it — still a bounded set of traces
+    while never returning a bucket smaller than n (a negative pad)."""
     for b in CANDIDATE_BUCKETS:
         if n <= b:
             return b
-    return CANDIDATE_BUCKETS[-1]
+    top = CANDIDATE_BUCKETS[-1]
+    return -(-n // top) * top
 
 
 def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:

@@ -125,6 +125,24 @@ def test_extract_features_contract():
     assert out2.shape == (30, 16, 29)
 
 
+def test_length_pad_does_not_change_logits():
+    """Length-bucket zero padding must not leak into real outputs.
+    With nonzero biases (any real checkpoint), unmasked pad rows feed
+    the backward LSTM garbage state before it reaches the utterance —
+    so compare padded vs unpadded logits under biased params."""
+    params = ds.init_deepspeech(jax.random.PRNGKey(6))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, params)
+    audio = np.random.default_rng(7).normal(0, 0.1, 16000)
+    vec = jnp.asarray(ds.input_vectors(audio))
+    t = vec.shape[0]
+    exact = np.asarray(ds.deepspeech_apply(params, vec))
+    padded = jnp.concatenate(
+        [vec, jnp.zeros((128 - t % 128, vec.shape[1]), jnp.float32)])
+    got = np.asarray(ds.deepspeech_apply(params, padded, t))[:t]
+    np.testing.assert_allclose(got, exact, atol=1e-5)
+
+
 def test_converter_roundtrip(tmp_path):
     """TF-name npz dump → pytree, with the documented layouts."""
     import sys
