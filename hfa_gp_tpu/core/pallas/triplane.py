@@ -361,7 +361,10 @@ def _sampler_kernel(origins_ref, txy_ref, planes_ref, out_ref,
             tya = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + r - py))
             acc = acc + tya * fa[r * channels:(r + 1) * channels, :]
         ty4 = jnp.maximum(0.0, 1.0 - jnp.abs(vaf + 4.0 - py))
-        out_ref[gi, :, :] = acc + ty4 * fb
+        # out matches the plane dtype (bf16 default): fp32 y-epilogue
+        # accumulation, half the output write/read bytes — the renderer
+        # casts to the bf16 decoder right after the plane mean anyway
+        out_ref[gi, :, :] = (acc + ty4 * fb).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, group, body, 0)
@@ -514,7 +517,10 @@ def sample_blocked(plan: BlockPlan, txy: jax.Array, origins: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Differentiable windowed sampling: txy (NB,2,P) slab-relative,
     origins (NB,) packed int32, planes_quad (B3, H/4+1, W, 4C) from
-    quad_pack_planes → (NB, C, P) fp32 features (lane-major in P).
+    quad_pack_planes → (NB, C, P) features in the PLANE dtype
+    (lane-major in P; fp32 accumulation inside the kernel — a bf16
+    output halves the write and every downstream read, and the
+    renderer's plane mean feeds the bf16 decoder right after).
 
     Gradients flow to planes_quad only (the op is linear in it; the
     backward is a sequential RMW scatter kernel). txy/origins get zero
@@ -592,12 +598,13 @@ def _sample_blocked_impl(plan: BlockPlan, txy: jax.Array,
                           channels=c, group=group, n_blocks=nb_pad,
                           x_align=plan.x_align),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_pad, c, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, c, p),
+                                       planes_quad.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * p * (sy // 4) * sx * (c4 + c) * 2,
             bytes_accessed=nb * (p * (sy // 4) * sx * 2 * 2
                                  + (sy // 4 + 1) * sx * c4 * 2
-                                 + p * c * 4),
+                                 + p * c * planes_quad.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -740,7 +747,9 @@ def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
     """Drop-in for renderer.sample_from_planes on blocked-friendly shapes.
 
     planes (B, 3, H, W, C); coordinates (B, res²·n_depth, 3) ordered
-    (ray_row, ray_col, depth) → (B, 3, M, C) fp32 features."""
+    (ray_row, ray_col, depth) → (B, 3, M, C) fp32 features (the kernel
+    emits the plane dtype; this wrapper unblocks in it — half the
+    transpose bytes — then restores the fp32 contract)."""
     b, n_planes, h, w_, c = planes.shape
     plan, txy, origins, _ = plan_blocks(
         coordinates, plane_inv, box_warp, res=res, n_depth=n_depth,
@@ -750,4 +759,4 @@ def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
     blocked = sample_blocked(plan, txy, origins, planes_quad,
                              group=group, interpret=interpret)
     feats = _unblock_feats(blocked, plan, b * n_planes)
-    return feats.reshape(b, n_planes, -1, c)
+    return feats.reshape(b, n_planes, -1, c).astype(jnp.float32)

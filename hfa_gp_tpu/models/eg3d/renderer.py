@@ -817,7 +817,11 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
                                      group=cfg.sampler_group,
                                      interpret=cfg.pallas_interpret)
         nbp = plan.n_blocks // (b * 3)
-        feats = blocked.reshape(b, 3, nbp, c, plan.points).mean(axis=1)
+        # fp32-accumulated plane mean over the (bf16) sampler output;
+        # the decoder casts to its compute dtype right after, so XLA
+        # fuses mean+cast into one pass over the half-width features
+        feats = blocked.reshape(b, 3, nbp, c, plan.points).mean(
+            axis=1, dtype=jnp.float32)
         y = decoder_apply_cp(decoder_params, cfg, feats)  # (b,nbp,33,P)
         # unblock in the decoder's compute dtype (bf16 halves the
         # transpose bytes, fwd AND bwd); cast to fp32 at the 33-channel
