@@ -140,7 +140,7 @@ def _block_coords(texel_xy: jax.Array, plan: BlockPlan) -> jax.Array:
     return x.transpose(1, 0, 2)
 
 
-def _unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
+def unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
     """(NB, C, P) → (B3, res*res*N, C), inverting _block_coords.
 
     Same staging rule: only the FINAL materialization (the (…, C)
@@ -157,6 +157,10 @@ def _unblock_feats(blocked: jax.Array, plan: BlockPlan, b3: int) -> jax.Array:
     x = x.reshape(b3, nt, nt, nw * dw, c, t, t)
     x = x.transpose(0, 1, 5, 2, 6, 3, 4)
     return x.reshape(b3, plan.res * plan.res * plan.n_depth, c)
+
+
+# legacy private name (pre-promotion callers: tools/, renderer history)
+_unblock_feats = unblock_feats
 
 
 def quad_pack_planes(planes: jax.Array) -> jax.Array:
@@ -214,6 +218,12 @@ def plan_blocks(coordinates: jax.Array, plane_inv: np.ndarray,
     # low side is always covered; the high side is covered whenever the
     # footprint fits in slab - (align - 1)
     org = (jnp.clip(mn, 0, None).astype(jnp.int32) // align) * align
+    # the high-side clip must itself land on the alignment grid, or the
+    # kernel's pl.multiple_of(ox, x_align) promise to Mosaic is false
+    # for right/bottom-edge blocks (a misaligned tile DMA reads the
+    # wrong slab silently)
+    assert plane_hw % x_align == 0 and (plane_hw - sy) % Y_ALIGN == 0, \
+        (plane_hw, x_align, sy)
     hi = np.array([plane_hw - sx, plane_hw - sy], np.int32)
     org = jnp.clip(org, 0, hi)                             # (NB, 2) [ox, oy]
     orgf = org.astype(jnp.float32)
@@ -758,5 +768,5 @@ def sample_from_planes_windowed(planes: jax.Array, coordinates: jax.Array,
     planes_quad = quad_pack_planes(planes.astype(dtype))
     blocked = sample_blocked(plan, txy, origins, planes_quad,
                              group=group, interpret=interpret)
-    feats = _unblock_feats(blocked, plan, b * n_planes)
+    feats = unblock_feats(blocked, plan, b * n_planes)
     return feats.reshape(b, n_planes, -1, c).astype(jnp.float32)

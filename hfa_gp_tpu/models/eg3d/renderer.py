@@ -614,9 +614,9 @@ def unify_samples(d1, c1, s1, d2, c2, s2, *, sorted_inputs: bool = False):
         k2 = jax.lax.stop_gradient(d2[..., 0])
         # stable-merge ranks (list 1 wins ties, like a stable sort of
         # the concatenation)
-        r1 = jnp.cumsum(jnp.ones_like(k1, jnp.int32), axis=-1) - 1 \
+        r1 = jnp.arange(k1.shape[-1], dtype=jnp.int32) \
             + jnp.sum(k2[..., None, :] < k1[..., :, None], axis=-1)
-        r2 = jnp.cumsum(jnp.ones_like(k2, jnp.int32), axis=-1) - 1 \
+        r2 = jnp.arange(k2.shape[-1], dtype=jnp.int32) \
             + jnp.sum(k1[..., None, :] <= k2[..., :, None], axis=-1)
         rank = jnp.concatenate([r1, r2], axis=-1)       # (B, R, N)
         feats_sorted = _apply_ranks(feats, rank)
@@ -657,7 +657,10 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
 
     With cfg.ray_chunk set, rays process in lax.map chunks — rays are
     fully independent through both passes, so chunking bounds the
-    (B, M, ·) intermediates and raises the per-chip batch envelope."""
+    (B, M, ·) intermediates and raises the per-chip batch envelope.
+    ray_chunk applies only to the XLA gather path: the windowed
+    (use_pallas_sampler) path bounds memory through its own
+    tile×depth-window blocking instead and ignores the flag."""
     b, r, _ = ray_origins.shape
 
     if cfg.ray_shard_axis is not None:
@@ -679,7 +682,11 @@ def render_rays(decoder_params: Params, cfg: RenderConfig,
     packed = pack_planes(planes)        # once; reused by both passes
 
     chunk = cfg.ray_chunk
-    if chunk and chunk < r and r % chunk == 0:
+    if chunk and chunk < r:
+        assert r % chunk == 0, (
+            f"ray_chunk ({chunk}) must divide the ray count ({r}) — "
+            f"silently falling back to the unchunked path would "
+            f"materialize the full (B, R·N, ·) intermediates")
         nch = r // chunk
         ro = jnp.swapaxes(ray_origins.reshape(b, nch, chunk, 3), 0, 1)
         rd = jnp.swapaxes(ray_directions.reshape(b, nch, chunk, 3), 0, 1)
@@ -715,11 +722,10 @@ def decoder_apply_cp(params: Params, cfg: RenderConfig,
     math as decoder_apply, laid out for the windowed sampler's blocked
     tensors (avoids a huge (…, 32)-minor transpose — XLA pads those
     copies 4× on lanes)."""
-    import math as _math
 
     def fc(h, w, bias, act):
         out_dim, in_dim = w.shape
-        gain = cfg.decoder_lr_mul / _math.sqrt(in_dim)
+        gain = cfg.decoder_lr_mul / math.sqrt(in_dim)
         wg = (w * gain).astype(h.dtype)
         y = jnp.einsum("oc,...cp->...op", wg, h)
         y = y + (bias * cfg.decoder_lr_mul).astype(y.dtype)[..., :, None]
@@ -826,7 +832,7 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         # unblock in the decoder's compute dtype (bf16 halves the
         # transpose bytes, fwd AND bwd); cast to fp32 at the 33-channel
         # tail where compositing wants full precision
-        y = tpl._unblock_feats(y.reshape(b * nbp, -1, plan.points),
+        y = tpl.unblock_feats(y.reshape(b * nbp, -1, plan.points),
                                plan, b)                   # (b, R·N, 33)
         y = y.reshape(b, r, n, -1).astype(jnp.float32)
         sigma = y[..., 0:1]
@@ -863,7 +869,17 @@ def _render_core_windowed(decoder_params: Params, cfg: RenderConfig,
         swap = lambda x: jnp.swapaxes(x, 0, 1).reshape(b, r, n, -1)
         return swap(rgb), swap(sigma)
 
-    marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
+    if cfg.remat:
+        # same trade as the XLA path: recompute each pass's sampler/
+        # decoder residuals in the backward instead of storing both
+        eval_points = jax.checkpoint(eval_points, static_argnums=(1,))
+        eval_points_xla = jax.checkpoint(eval_points_xla)
+
+    if cfg.use_pallas_marcher and not cfg.white_back:
+        from ...core.pallas.raymarch import pallas_ray_march
+        marcher = lambda c_, d_, z_: pallas_ray_march(c_, d_, z_)
+    else:
+        marcher = lambda c_, d_, z_: ray_march(c_, d_, z_, cfg)
 
     depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
                                       cfg.ray_end, cfg.depth_resolution,
@@ -923,7 +939,6 @@ def _render_core(decoder_params: Params, cfg: RenderConfig,
     depths_coarse = sample_stratified(ray_origins, cfg.ray_start,
                                       cfg.ray_end, cfg.depth_resolution,
                                       rng=rngs[0])
-    n_coarse = cfg.depth_resolution
 
     def eval_points(depths):
         n = depths.shape[2]
