@@ -72,7 +72,11 @@ def main(args) -> None:
             list(range(len(dataset))), args.batch_size,
             collate=lambda items: np.asarray(items)))
 
-        was_smooth = args.start_iter >= args.nosmo_iters
+        # strictly '>' on resume: state.step == nosmo_iters means the
+        # last executed step was i = nosmo_iters - 1 (plain phase), so
+        # the AudAtt optimizer reset has NOT run yet — '>=' would skip
+        # it for a checkpoint saved exactly at the boundary
+        was_smooth = args.start_iter > args.nosmo_iters
         for idx in range(args.iter):
             i = idx + args.start_iter
             ids = next(idx_iter)

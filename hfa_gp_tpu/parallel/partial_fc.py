@@ -43,10 +43,27 @@ Params = dict[str, Any]
 
 def combined_margin(target_logit: jax.Array, m1: float, m2: float,
                     m3: float) -> jax.Array:
-    """cos(m1·θ + m2) − m3 applied to the target-class cosine."""
+    """cos(m1·θ + m2) − m3 applied to the target-class cosine.
+
+    The m1=1 ArcFace branch mirrors the reference exactly
+    (arcface_torch/losses.py:42-51): cos(θ+m2) via the explicit
+    t·cos m − √(1−t²)·sin m product, with the easy_margin=False LINEAR
+    fallback t − sin(π−m2)·m2 once θ+m2 would pass π (plain cos(θ+m2)
+    turns back up there — a non-monotone penalty for the hardest
+    samples). The √(1−t²) derivative diverges at |t|=1 (the torch
+    reference hits the same inf); the ε-clip keeps gradients finite at
+    cosines that saturate the [-1,1] clip after a bf16 matmul."""
     if m1 == 1.0 and m2 == 0.0:
         return target_logit - m3
-    theta = jnp.arccos(jnp.clip(target_logit, -1.0, 1.0))
+    t = target_logit
+    tc = jnp.clip(t, -1.0 + 1e-6, 1.0 - 1e-6)
+    if m1 == 1.0:
+        sin_theta = jnp.sqrt(1.0 - tc * tc)
+        cos_theta_m = t * math.cos(m2) - sin_theta * math.sin(m2)
+        fallback = t - math.sin(math.pi - m2) * m2
+        return jnp.where(t > math.cos(math.pi - m2),
+                         cos_theta_m, fallback) - m3
+    theta = jnp.arccos(tc)
     return jnp.cos(m1 * theta + m2) - m3
 
 
@@ -109,6 +126,52 @@ def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
     per_sample = (jnp.log(denom) - tgt_term) * jnp.minimum(valid, 1.0)
     n_valid = jnp.maximum(jnp.sum(jnp.minimum(valid, 1.0)), 1.0)
     return (jnp.sum(per_sample) / n_valid)[None]
+
+
+# ---------------------------------------------------------------------------
+# Shared per-shard sampling helpers (used by sample_indices AND loss's
+# sampled branch — the priority scatter-MAX and the searchsorted remap
+# are subtle enough that two copies WILL diverge)
+# ---------------------------------------------------------------------------
+
+
+def _shard_local_labels(lab: jax.Array, shard_idx: jax.Array,
+                        num_local: int) -> jax.Array:
+    """Global labels → this shard's local class column, −1 if not ours."""
+    lo = shard_idx * num_local
+    return jnp.where((lab >= lo) & (lab < lo + num_local), lab - lo, -1)
+
+
+def _sample_shard_indices(local_lab: jax.Array, key: jax.Array,
+                          shard_idx: jax.Array, num_local: int,
+                          num_sample: int) -> jax.Array:
+    """Sorted per-shard sampled class indices: every positive (priority
+    2.0 via scatter-MAX — a duplicate write to index 0 from no-positive
+    rows can never clobber a real class-0 positive) + random negatives
+    (partial_fc.py:96-136). The kept count is
+    max(num_sample, min(B, num_local)) — B is static at trace time, so
+    the shape stays static while guaranteeing capacity for every
+    distinct positive; the reference's overflow fallback (index =
+    positives only, dropping ALL negatives) is subsumed: we keep all
+    positives and still fill the rest with negatives."""
+    b = local_lab.shape[0]
+    k = min(num_local, max(num_sample, min(b, num_local)))
+    perm = jax.random.uniform(jax.random.fold_in(key, shard_idx),
+                              (num_local,))
+    pos = jnp.where(local_lab >= 0, local_lab, 0)
+    perm = perm.at[pos].max(jnp.where(local_lab >= 0, 2.0, -jnp.inf))
+    _, index = jax.lax.top_k(perm, k)
+    return jnp.sort(index)
+
+
+def _remap_to_sampled(local_lab: jax.Array, index: jax.Array) -> jax.Array:
+    """Local class columns → columns of the sorted sampled index array
+    (positives are always sampled; no-positive rows stay −1)."""
+    k = index.shape[0]
+    remap = jnp.searchsorted(index, jnp.maximum(local_lab, 0))
+    hit = (local_lab >= 0) & (index[jnp.clip(remap, 0, k - 1)]
+                              == local_lab)
+    return jnp.where(hit, remap, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -183,16 +246,9 @@ class PartialFC:
             lab = jax.lax.all_gather(lab_local, DATA_AXIS, axis=0,
                                      tiled=True)
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
-            lo = shard_idx * num_local
-            local_lab = jnp.where((lab >= lo) & (lab < lo + num_local),
-                                  lab - lo, -1)
-            perm = jax.random.uniform(
-                jax.random.fold_in(k, shard_idx), (num_local,))
-            pos = jnp.where(local_lab >= 0, local_lab, 0)
-            perm = perm.at[pos].max(
-                jnp.where(local_lab >= 0, 2.0, -jnp.inf))
-            _, index = jax.lax.top_k(perm, num_sample)
-            return jnp.sort(index)
+            local_lab = _shard_local_labels(lab, shard_idx, num_local)
+            return _sample_shard_indices(local_lab, k, shard_idx,
+                                         num_local, num_sample)
 
         fn = shard_map(
             shard_fn, mesh=self.mesh,
@@ -241,16 +297,8 @@ class PartialFC:
             lab = jax.lax.all_gather(lab_local, DATA_AXIS, axis=0,
                                      tiled=True)
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
-            lo = shard_idx * num_local
-            local_lab = jnp.where((lab >= lo) & (lab < lo + num_local),
-                                  lab - lo, -1)
-            # remap into the sampled index space (positives are always
-            # sampled; the hit check keeps -1 rows at -1)
-            remap = jnp.searchsorted(idx_local,
-                                     jnp.maximum(local_lab, 0))
-            hit = (local_lab >= 0) & (idx_local[jnp.clip(
-                remap, 0, num_sample - 1)] == local_lab)
-            local_lab = jnp.where(hit, remap, -1)
+            local_lab = _shard_local_labels(lab, shard_idx, num_local)
+            local_lab = _remap_to_sampled(local_lab, idx_local)
             return _margin_softmax_ce(emb, w_local, local_lab,
                                       s, m1, m2, m3, mm_dtype)
 
@@ -283,31 +331,13 @@ class PartialFC:
             lab = jax.lax.all_gather(lab_local, DATA_AXIS, axis=0,
                                      tiled=True)
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
-            lo = shard_idx * num_local
-            # map global labels into this shard's local class range
-            local_lab = jnp.where((lab >= lo) & (lab < lo + num_local),
-                                  lab - lo, -1)
+            local_lab = _shard_local_labels(lab, shard_idx, num_local)
 
             if sampled:
-                # positives get priority 2.0, negatives random — topk
-                # keeps all positives + random negatives
-                # (partial_fc.py:96-136)
-                perm = jax.random.uniform(
-                    jax.random.fold_in(key, shard_idx), (num_local,))
-                pos = jnp.where(local_lab >= 0, local_lab, 0)
-                # scatter-MAX: rows without a positive write -inf (no-op)
-                # so a duplicate write to index 0 can never clobber a real
-                # class-0 positive's 2.0 priority (order-undefined .set)
-                perm = perm.at[pos].max(
-                    jnp.where(local_lab >= 0, 2.0, -jnp.inf))
-                _, index = jax.lax.top_k(perm, num_sample)
-                index = jnp.sort(index)
+                index = _sample_shard_indices(local_lab, key, shard_idx,
+                                              num_local, num_sample)
                 w_used = w_local[index]
-                # remap local labels into the sampled index space
-                remap = jnp.searchsorted(index, jnp.maximum(local_lab, 0))
-                hit = (local_lab >= 0) & (index[jnp.clip(
-                    remap, 0, num_sample - 1)] == local_lab)
-                local_lab = jnp.where(hit, remap, -1)
+                local_lab = _remap_to_sampled(local_lab, index)
             else:
                 w_used = w_local
 
@@ -315,6 +345,11 @@ class PartialFC:
                                       s, m1, m2, m3, mm_dtype)
 
         if sample_key is None:
+            if sampled:
+                raise ValueError(
+                    "PartialFC.loss with sample_rate < 1 needs a fresh "
+                    "sample_key every step — a fixed key would train "
+                    "against the same negative subset forever")
             sample_key = jax.random.PRNGKey(0)
         fn = shard_map(
             shard_fn, mesh=self.mesh,

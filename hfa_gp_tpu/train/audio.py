@@ -115,11 +115,10 @@ def make_train_step(cfg: heads.AvatarConfig,
             smooth, label_convention=label_convention)
         grads["model"] = apply_generator_freeze(grads["model"], state.step,
                                                 tune_iter)
-        if not smooth:
-            # optimizer_AudAtt doesn't step pre-smoothing
-            # (trainer_audio.py:110-111)
-            grads["audattnet"] = jax.tree_util.tree_map(
-                jnp.zeros_like, grads["audattnet"])
+        # pre-smoothing, optimizer_AudAtt must not step
+        # (trainer_audio.py:110-111) — automatic here: the non-smooth
+        # loss never reads params['audattnet'], so its grads are
+        # already exactly zero and its Adam moments only decay
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,

@@ -206,3 +206,57 @@ def test_combined_margin_modes():
     arc = np.asarray(combined_margin(t, 1.0, 0.5, 0.0))
     np.testing.assert_allclose(arc, np.cos(np.arccos(np.asarray(t)) + 0.5),
                                atol=1e-6)
+
+
+def test_combined_margin_reference_fallback_and_finite_grads():
+    """m1=1 branch mirrors arcface_torch/losses.py:42-51 exactly: the
+    explicit t·cos m − √(1−t²)·sin m product with the easy_margin=False
+    LINEAR fallback past θ+m > π; and gradients stay finite at the
+    saturated cosines a bf16 matmul's [-1,1] clip can produce."""
+    import math
+    m = 0.5
+    theta_lim = math.cos(math.pi - m)
+    # fallback branch (t below the θ+m > π limit): t - sin(π-m)·m
+    t = jnp.float32(theta_lim - 0.05)
+    got = float(combined_margin(t, 1.0, m, 0.0))
+    np.testing.assert_allclose(got, float(t) - math.sin(math.pi - m) * m,
+                               atol=1e-6)
+    # main branch parity with cos(θ+m)
+    t = jnp.float32(0.3)
+    np.testing.assert_allclose(
+        float(combined_margin(t, 1.0, m, 0.0)),
+        math.cos(math.acos(0.3) + m), atol=1e-6)
+    # finite gradients at t = ±1 (arccos'/±1 = ∓inf would NaN the step)
+    g = jax.grad(lambda x: combined_margin(x, 1.0, m, 0.0))
+    assert np.isfinite(float(g(jnp.float32(1.0))))
+    assert np.isfinite(float(g(jnp.float32(-1.0))))
+    g2 = jax.grad(lambda x: combined_margin(x, 0.9, 0.4, 0.0))
+    assert np.isfinite(float(g2(jnp.float32(1.0))))
+
+
+def test_sampling_keeps_all_positives_past_num_sample(mesh):
+    """More distinct positives on a shard than num_sample: the sampled
+    index set must still contain every positive (the reference's
+    overflow fallback keeps positives only, partial_fc.py:96-136 —
+    we keep them all AND fill remaining slots with negatives)."""
+    num_classes, dim, b = 64, 8, 16
+    # sample_rate 0.125 → num_sample = 4 per 32-class shard, but up to
+    # 16 distinct positives can land on one shard
+    pfc = PartialFC(mesh, num_classes, dim, sample_rate=0.125)
+    assert pfc.num_sample < b
+    rng = np.random.default_rng(7)
+    # all 16 labels distinct and all on shard 0 ([0, 32))
+    labels = rng.choice(32, size=b, replace=False).astype(np.int32)
+    emb = rng.standard_normal((b, dim)).astype(np.float32)
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (jnp.asarray(emb),
+                                               jnp.asarray(labels)))
+    index = pfc.sample_indices(lab_s, jax.random.PRNGKey(3))
+    idx = np.asarray(index).reshape(mesh.shape["model"], -1)
+    # shard 0 must hold every positive local column
+    assert set(labels.tolist()) <= set(idx[0].tolist())
+    # and the loss sees every row as valid: matches the dense loss'
+    # order of magnitude rather than dropping rows (smoke: finite)
+    w_s = pfc.init(jax.random.PRNGKey(0))
+    w_sub = pfc.take_rows(w_s, index)
+    loss = pfc.loss_sampled(w_sub, emb_s, lab_s, index)
+    assert np.isfinite(float(loss))
