@@ -56,7 +56,12 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
-    cfg = common.avatar_config(args, params_len=args.params_len)
+    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
+    n_data = mesh.shape[mesh_mod.DATA_AXIS]
+    # n_data in the config gates the shard_map-DP Pallas render path
+    # (renderer._render_windowed_dp); same wiring as cli/train_rgb.py.
+    cfg = common.avatar_config(args, params_len=args.params_len,
+                               n_data=n_data)
     root = f"{args.dataset_root}/{args.dataset}"
     dataset = HeadData3DMM(args.dataset_type, size=args.size, root=root,
                            person=args.person)
@@ -66,8 +71,6 @@ def main(args) -> None:
     save_path = os.path.join(args.demo_dir, args.demo_name)
     os.makedirs(save_path, exist_ok=True)
 
-    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
-    n_data = mesh.shape[mesh_mod.DATA_AXIS]
     bs = max(args.render_batch, n_data)
     bs -= bs % n_data
 

@@ -60,7 +60,11 @@ def load_params(args, cfg):
 
 def main(args) -> None:
     import dataclasses
-    cfg = dataclasses.replace(common.avatar_config(args),
+    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
+    n_data = mesh.shape[mesh_mod.DATA_AXIS]
+    # n_data in the config gates the shard_map-DP Pallas render path
+    # (renderer._render_windowed_dp); same wiring as cli/train_rgb.py.
+    cfg = dataclasses.replace(common.avatar_config(args, n_data=n_data),
                               dim_aud=args.dim_aud,
                               win_size=args.win_size,
                               smo_size=args.smo_size)
@@ -71,8 +75,6 @@ def main(args) -> None:
     save_path = os.path.join(args.demo_dir, args.demo_name)
     os.makedirs(save_path, exist_ok=True)
 
-    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
-    n_data = mesh.shape[mesh_mod.DATA_AXIS]
     bs = max(args.render_batch, n_data)
     bs -= bs % n_data
     smooth = args.smooth

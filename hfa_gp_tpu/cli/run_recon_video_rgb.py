@@ -56,7 +56,13 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
-    cfg = common.avatar_config(args)
+    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
+    n_data = mesh.shape[mesh_mod.DATA_AXIS]
+    # n_data must reach the config: with the Pallas sampler on a multi-
+    # device mesh the render must wrap in shard_map over 'data'
+    # (renderer._render_windowed_dp) — XLA cannot auto-partition the
+    # Pallas custom call. Same wiring as cli/train_rgb.py.
+    cfg = common.avatar_config(args, n_data=n_data)
     root = f"{args.dataset_root}/{args.dataset}"
     dataset = HeadDataTest(args.dataset_type, size=args.size, root=root,
                            person=args.person, ds_path=args.ds_path,
@@ -66,8 +72,6 @@ def main(args) -> None:
     save_path = os.path.join(args.demo_dir, args.demo_name)
     os.makedirs(save_path, exist_ok=True)
 
-    mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
-    n_data = mesh.shape[mesh_mod.DATA_AXIS]
     bs = max(args.render_batch, n_data)
     bs -= bs % n_data
 
