@@ -51,6 +51,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     # accepted for command-line parity; the mesh replaces process groups
     p.add_argument("--addr", type=str, default="localhost")
     p.add_argument("--port", type=str, default="12345")
+    # multi-host rendezvous (parallel/distributed.py; ref
+    # arcface_torch/train.py:24-36 WORLD_SIZE/RANK env also honored)
+    from ..parallel.distributed import add_distributed_flags
+    add_distributed_flags(p)
     # TPU-native additions
     p.add_argument("--eg3d_weights", type=str, default=None,
                    help="npz from tools/convert_pickle.py "

@@ -25,9 +25,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(args) -> None:
+    from ..parallel import distributed
+    distributed.maybe_initialize(args)   # multi-host: global devices
     dirs = common.make_dirs(args)
     common.save_args(args, dirs)
-    writer = MetricsWriter(dirs["log"])
+    writer = MetricsWriter(dirs["log"], primary=distributed.is_primary())
     mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     cfg = common.avatar_config(args, params_len=args.params_len,
                                n_data=mesh.shape[mesh_mod.DATA_AXIS])
@@ -65,7 +67,9 @@ def main(args) -> None:
         for idx in range(args.iter):
             i = idx + args.start_iter
             real_image, label, coeffs = next(loader)
-            batch = mesh_mod.shard_batch(mesh, (real_image, label, coeffs))
+            batch = mesh_mod.shard_batch(
+                mesh,
+                mesh_mod.process_local_batch((real_image, label, coeffs)))
             state, metrics = step_fn(state, lpips_params, *batch)
             writer.scalars(idx, l2_loss=metrics["l2_loss"],
                            lpips_loss=metrics["lpips_loss"],

@@ -30,6 +30,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=20)
     p.add_argument("--warmup_steps", type=int, default=2)
     p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   choices=["sgd", "adamw"],
+                   help="sgd = conv-backbone recipe; adamw = the ViT "
+                        "recipe (PartialFCAdamW)")
+    p.add_argument("--weight_decay", type=float, default=None,
+                   help="default: 5e-4 for sgd, 0.1 for adamw "
+                        "(reference configs)")
+    p.add_argument("--clip_grad", type=float, default=5.0,
+                   help="backbone global-norm gradient clip "
+                        "(arcface_torch/train.py:157-166); 0 disables")
     p.add_argument("--margin", type=str, default="arcface",
                    choices=["arcface", "cosface"])
     p.add_argument("--n_model", type=int, default=1)
@@ -39,10 +49,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(CallBackVerification parity)")
     p.add_argument("--verbose", type=int, default=10,
                    help="verification frequency in steps")
+    from ..parallel.distributed import add_distributed_flags
+    add_distributed_flags(p)
     return p
 
 
 def main(args) -> None:
+    from ..parallel import distributed
+    distributed.maybe_initialize(args)   # multi-host: global devices
     mesh = mesh_mod.make_mesh_for_batch(args.batch_size,
                                         n_model=args.n_model)
     n_model = mesh.shape[mesh_mod.MODEL_AXIS]
@@ -54,8 +68,12 @@ def main(args) -> None:
     pfc = PartialFC(mesh, num_classes, 512, m2=m2, m3=m3,
                     sample_rate=args.sample_rate,
                     matmul_dtype=None if args.fp32 else dtype)
-    tx, fc_tx = arc.make_optimizers(args.num_steps, lr=args.lr,
-                                    warmup_steps=args.warmup_steps)
+    wd = args.weight_decay if args.weight_decay is not None \
+        else (0.1 if args.optimizer == "adamw" else 5e-4)
+    tx, fc_tx = arc.make_optimizers(
+        args.num_steps, lr=args.lr, warmup_steps=args.warmup_steps,
+        weight_decay=wd, optimizer=args.optimizer,
+        clip_grad_norm=args.clip_grad or None)
     step = arc.make_train_step(pfc, tx, fc_tx, args.network, dtype=dtype)
 
     rng = np.random.default_rng(0)
@@ -67,11 +85,16 @@ def main(args) -> None:
             batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
             opt_state=mesh_mod.replicate(mesh, state.opt_state))
 
-        @jax.jit
+        from functools import partial
+        batch_sh = mesh_mod.data_parallel_sharding(mesh)
+
+        @partial(jax.jit, out_shardings=(batch_sh, batch_sh))
         def synth_batch_dev(key):
             # SyntheticDataset equivalent (arcface_torch/dataset.py:32-34)
-            # generated ON DEVICE — host batches would measure the data
-            # link, not the trainer
+            # generated ON DEVICE, directly data-sharded — host batches
+            # would measure the data link, not the trainer, and a
+            # device-local batch would break under multi-host (every
+            # process runs this same program on its mesh shard)
             k1, k2 = jax.random.split(key)
             imgs = jax.random.normal(
                 k1, (args.batch_size, 112, 112, 3), jnp.float32)
@@ -80,8 +103,7 @@ def main(args) -> None:
             return imgs, labs
 
         def synth_batch(i=0):
-            imgs, labs = synth_batch_dev(jax.random.PRNGKey(i))
-            return mesh_mod.shard_batch(mesh, (imgs, labs))
+            return synth_batch_dev(jax.random.PRNGKey(i))
 
         # warmup / compile
         imgs, labs = synth_batch()
@@ -100,10 +122,10 @@ def main(args) -> None:
             state, metrics = step(state, imgs, labs,
                                   jax.random.PRNGKey(i))
             if val is not None and (i + 1) % args.verbose == 0:
-                from ..models.arcface import iresnet as ir
-                embed = jax.jit(lambda x: ir.iresnet_apply(
-                    state.backbone, state.batch_stats, jnp.asarray(x),
-                    args.network))
+                from ..models.arcface import registry
+                embed = jax.jit(lambda x: registry.backbone_apply(
+                    args.network, state.backbone, state.batch_stats,
+                    jnp.asarray(x), train=False))
                 acc, std, _ = evaluate_pairs(embed, *val)
                 print(f"[step {i + 1}] verification acc {acc:.4f} "
                       f"± {std:.4f}")

@@ -32,9 +32,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(args) -> None:
+    from ..parallel import distributed
+    distributed.maybe_initialize(args)   # multi-host: global devices
     dirs = common.make_dirs(args)
     common.save_args(args, dirs)
-    writer = MetricsWriter(dirs["log"])
+    writer = MetricsWriter(dirs["log"], primary=distributed.is_primary())
     mesh = mesh_mod.make_mesh_for_batch(args.batch_size, n_model=args.n_model)
     base_cfg = common.avatar_config(args,
                                     n_data=mesh.shape[mesh_mod.DATA_AXIS])
@@ -97,7 +99,9 @@ def main(args) -> None:
             else:
                 wins = np.stack([dataset.get_audio(int(j)) for j in ids])
                 step_fn = step_plain
-            batch = mesh_mod.shard_batch(mesh, (imgs, labels, wins))
+            batch = mesh_mod.shard_batch(
+                mesh,
+                mesh_mod.process_local_batch((imgs, labels, wins)))
             state, metrics = step_fn(state, lpips_params, *batch)
             writer.scalars(idx, l2_loss=metrics["l2_loss"],
                            lpips_loss=metrics["lpips_loss"])

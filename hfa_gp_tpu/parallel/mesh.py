@@ -68,16 +68,53 @@ def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch with its leading axis split across 'data'."""
-    sh = data_parallel_sharding(mesh)
+    """Place a host batch with its leading axis split across 'data'.
 
-    def put(x):
-        return jax.device_put(x, sh)
+    Single-process: a plain device_put. Multi-process (after
+    parallel.distributed.maybe_initialize): `tree` holds this PROCESS's
+    slice of the global batch — the reference's per-rank loader contract
+    (`args.batch_size // world_size`, train_rgb.py:88) — and the global
+    array is assembled via jax.make_array_from_process_local_data (the
+    global shape is deduced from the sharding: local rows × the number
+    of data-axis shards per process)."""
+    sh = data_parallel_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(sh, x, None)
+    else:
+        def put(x):
+            return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, tree)
 
 
+def process_local_batch(tree):
+    """Slice this process's rows out of a GLOBAL host batch.
+
+    Multi-host DP contract: every process assembles the same global
+    batch (BatchIterator is seed-synced — the analog of the reference's
+    sync_random_seed DistributedSampler, utils_distributed_sampler.py),
+    then keeps rows [pid·local, (pid+1)·local) — which is exactly the
+    slice make_array_from_process_local_data expects, because mesh
+    construction orders devices process-contiguously (jax.devices()
+    sorts by process). Single-process: identity."""
+    n, pid = jax.process_count(), jax.process_index()
+    if n == 1:
+        return tree
+
+    def sl(x):
+        assert x.shape[0] % n == 0, \
+            f"global batch {x.shape[0]} must divide process count {n}"
+        local = x.shape[0] // n
+        return x[pid * local:(pid + 1) * local]
+
+    return jax.tree_util.tree_map(sl, tree)
+
+
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree (params / optimizer state) on the mesh."""
+    """Fully replicate a pytree (params / optimizer state) on the mesh.
+    Works multi-process too: every process passes the same host values
+    (same PRNG seed), which jax.device_put assumes for fully-replicated
+    shardings."""
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -62,14 +62,21 @@ def _decay_sampled_rows(weight_decay: float) -> optax.GradientTransformation:
 class FCOptimizer(NamedTuple):
     """FC-head optimizer: optax-compatible (init/update) for the dense
     path, plus the raw hyperparameters for the ROW-SPARSE step used when
-    sample_rate<1 — there the train step gathers momentum rows for the
-    sampled classes only, applies torch-SGD math, and scatters back, so
-    no full-table gradient or optimizer intermediate ever exists
-    (reference's optimizer-state surgery, partial_fc.py:96-136)."""
+    sample_rate<1 — there the train step gathers optimizer-state rows for
+    the sampled classes only, applies torch-SGD/AdamW math, and scatters
+    back, so no full-table gradient or optimizer intermediate ever exists
+    (reference's optimizer-state surgery, partial_fc.py:96-136 SGD /
+    :311-337 PartialFCAdamW — whose bias-correction `step` is the GLOBAL
+    step count, shared by all rows, and unsampled rows keep stale
+    exp_avg/exp_avg_sq)."""
     tx: optax.GradientTransformation
     sched: Any
+    kind: str                     # "sgd" | "adamw"
     momentum: float
     weight_decay: float
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
 
     def init(self, params):
         return self.tx.init(params)
@@ -80,14 +87,35 @@ class FCOptimizer(NamedTuple):
 
 def make_optimizers(total_steps: int, *, lr: float = 0.1,
                     warmup_steps: int = 0, momentum: float = 0.9,
-                    weight_decay: float = 5e-4):
+                    weight_decay: float = 5e-4, optimizer: str = "sgd",
+                    clip_grad_norm: float | None = 5.0):
+    """Backbone + FC-head optimizers.
+
+    optimizer="sgd" is the reference's conv-backbone recipe
+    (SGD momentum 0.9, wd 5e-4, poly schedule); "adamw" the ViT recipe
+    (PartialFCAdamW, arcface_torch/partial_fc.py:239, configs/
+    wf42m_pfc03_40epoch_*_vit_*.py: AdamW wd 0.1). clip_grad_norm clips
+    BACKBONE gradients by global norm (the head is never clipped),
+    matching torch.nn.utils.clip_grad_norm_(backbone.parameters(), 5)
+    on both AMP and plain paths (arcface_torch/train.py:157-166)."""
     sched = poly_scheduler(lr, total_steps, warmup_steps)
-    tx = optax.chain(optax.add_decayed_weights(weight_decay),
-                     optax.sgd(sched, momentum=momentum))
-    fc_tx = FCOptimizer(
-        tx=optax.chain(_decay_sampled_rows(weight_decay),
-                       optax.sgd(sched, momentum=momentum)),
-        sched=sched, momentum=momentum, weight_decay=weight_decay)
+    clip = (optax.clip_by_global_norm(clip_grad_norm)
+            if clip_grad_norm else optax.identity())
+    if optimizer == "sgd":
+        tx = optax.chain(clip, optax.add_decayed_weights(weight_decay),
+                         optax.sgd(sched, momentum=momentum))
+        fc_inner = optax.chain(_decay_sampled_rows(weight_decay),
+                               optax.sgd(sched, momentum=momentum))
+    elif optimizer == "adamw":
+        tx = optax.chain(clip, optax.adamw(sched, weight_decay=weight_decay))
+        # dense path only (sample_rate==1): every row sees a gradient, so
+        # plain decoupled AdamW matches the reference exactly
+        fc_inner = optax.adamw(sched, weight_decay=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} "
+                         "(expected 'sgd' or 'adamw')")
+    fc_tx = FCOptimizer(tx=fc_inner, sched=sched, kind=optimizer,
+                        momentum=momentum, weight_decay=weight_decay)
     return tx, fc_tx
 
 
@@ -97,11 +125,17 @@ def init_state(key: jax.Array, pfc: PartialFC, tx, fc_tx,
     backbone, stats = registry.init_backbone(kb, network)
     fc_weight = pfc.init(kf)
     if pfc.sample_rate < 1.0 and isinstance(fc_tx, FCOptimizer):
-        # row-sparse momentum buffer (same sharding as the table)
+        # row-sparse optimizer buffers (same sharding as the table):
+        # SGD momentum, or AdamW exp_avg/exp_avg_sq (the reference's
+        # weight_exp_avg/_sq buffers, partial_fc.py:290-294)
         zeros = jax.jit(jnp.zeros_like,
                         out_shardings=pfc.weight_sharding())
-        fc_opt_state = {"mom": zeros(fc_weight),
-                        "count": jnp.zeros((), jnp.int32)}
+        if fc_tx.kind == "adamw":
+            fc_opt_state = {"m": zeros(fc_weight), "v": zeros(fc_weight),
+                            "count": jnp.zeros((), jnp.int32)}
+        else:
+            fc_opt_state = {"mom": zeros(fc_weight),
+                            "count": jnp.zeros((), jnp.int32)}
     else:
         fc_opt_state = fc_tx.init(fc_weight)
     return ArcFaceState(
@@ -162,17 +196,40 @@ def make_train_step(pfc: PartialFC, tx, fc_tx,
         backbone = optax.apply_updates(state.backbone, upd)
 
         if sparse:
-            # torch SGD on the sampled rows only: buf = μ·buf + g + wd·w;
-            # w -= lr·buf (decay therefore also touches sampled rows only)
             count = state.fc_opt_state["count"]
             lr = fc_tx.sched(count)
-            mom_sub = pfc.take_rows(state.fc_opt_state["mom"], index)
-            buf = fc_tx.momentum * mom_sub \
-                + g_sub + fc_tx.weight_decay * w_sub
-            fc_weight = pfc.put_rows(state.fc_weight, index,
-                                     w_sub - lr * buf)
-            mom = pfc.put_rows(state.fc_opt_state["mom"], index, buf)
-            fc_opt_state = {"mom": mom, "count": count + 1}
+            if fc_tx.kind == "adamw":
+                # torch AdamW on the sampled rows only (PartialFCAdamW,
+                # partial_fc.py:311-337): decoupled wd, bias correction
+                # with the GLOBAL step count (reference `self.step`);
+                # unsampled rows keep stale exp_avg/exp_avg_sq.
+                m_sub = pfc.take_rows(state.fc_opt_state["m"], index)
+                v_sub = pfc.take_rows(state.fc_opt_state["v"], index)
+                m_new = fc_tx.b1 * m_sub + (1.0 - fc_tx.b1) * g_sub
+                v_new = fc_tx.b2 * v_sub + (1.0 - fc_tx.b2) * g_sub ** 2
+                t = (count + 1).astype(jnp.float32)
+                m_hat = m_new / (1.0 - fc_tx.b1 ** t)
+                v_hat = v_new / (1.0 - fc_tx.b2 ** t)
+                w_new = w_sub - lr * (m_hat / (jnp.sqrt(v_hat) + fc_tx.eps)
+                                      + fc_tx.weight_decay * w_sub)
+                fc_weight = pfc.put_rows(state.fc_weight, index, w_new)
+                fc_opt_state = {
+                    "m": pfc.put_rows(state.fc_opt_state["m"], index,
+                                      m_new),
+                    "v": pfc.put_rows(state.fc_opt_state["v"], index,
+                                      v_new),
+                    "count": count + 1}
+            else:
+                # torch SGD on the sampled rows only: buf = μ·buf + g
+                # + wd·w; w -= lr·buf (decay therefore also touches
+                # sampled rows only)
+                mom_sub = pfc.take_rows(state.fc_opt_state["mom"], index)
+                buf = fc_tx.momentum * mom_sub \
+                    + g_sub + fc_tx.weight_decay * w_sub
+                fc_weight = pfc.put_rows(state.fc_weight, index,
+                                         w_sub - lr * buf)
+                mom = pfc.put_rows(state.fc_opt_state["mom"], index, buf)
+                fc_opt_state = {"mom": mom, "count": count + 1}
         else:
             fupd, fc_opt_state = fc_tx.update(g_fc, state.fc_opt_state,
                                               state.fc_weight)

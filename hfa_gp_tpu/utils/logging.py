@@ -45,10 +45,17 @@ def display_image(img, path: str) -> None:
 
 
 class MetricsWriter:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, primary: bool = True):
+        """primary=False (non-rank-0 processes under multi-host) makes
+        every method a no-op — the reference's rank-0 TensorBoard gate
+        (train_rgb.py:128-150)."""
+        self._primary = primary
+        self._jsonl = None
+        self._tb = None
+        if not primary:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir)
@@ -56,6 +63,8 @@ class MetricsWriter:
             pass
 
     def scalars(self, step: int, **values: float) -> None:
+        if not self._primary:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -73,6 +82,7 @@ class MetricsWriter:
             self._tb.add_image(tag, arr, int(step))
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

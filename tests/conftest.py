@@ -23,3 +23,36 @@ import jax  # noqa: E402
 # pins jax_platforms="axon,cpu"; tests must run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# Fast cross-subsystem smoke subset: `pytest -m smoke` (<3 min on one
+# CPU core — the full suite is ~19 min and blows past constrained-host
+# review windows). One representative per subsystem; everything mesh/
+# compile-heavy is excluded on purpose (the dryrun legs cover those).
+_SMOKE = (
+    "test_camera.py::test_cam2world_matches_reference",
+    "test_camera.py::test_flip_yz_label_involution",
+    "test_ops.py::test_fused_leaky_relu_matches_reference",
+    "test_ops.py::test_gaussian_filter1d_matches_scipy",
+    "test_avatar.py::test_subspace_orthonormal_and_span",
+    "test_data.py::test_head_data",
+    "test_data.py::test_batch_iterator",
+    "test_poses.py::test_average_and_center_poses",
+    "test_misc.py::test_pytree_io_roundtrip",
+    "test_misc.py::test_average_meter",
+    "test_preprocess.py::test_pos_recovers_similarity",
+    "test_preprocess.py::test_pose_from_coeffs_matches_reference_math",
+    "test_native_loader.py::test_build_and_decode",
+    "test_golden.py::test_golden_block",
+    "test_golden.py::test_golden_ray_march",
+    "test_arcface.py::test_poly_scheduler",
+    "test_arcface.py::test_clip_grad_norm_engages",
+    "test_pallas_triplane.py::test_plan_blocks_overflow_flag",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(item.nodeid.endswith(s) for s in _SMOKE):
+            item.add_marker(pytest.mark.smoke)

@@ -4,6 +4,7 @@ hybrid DP×MP train step on the virtual mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from hfa_gp_tpu.models.arcface import (init_iresnet, init_mobilefacenet,
@@ -191,6 +192,110 @@ def test_arcface_sparse_step_matches_dense_sampled():
     moved = np.abs(np.asarray(s1.fc_weight)
                    - np.asarray(state.fc_weight)).sum(axis=1)
     assert (moved > 0).sum() <= 2 * pfc.num_sample
+
+
+def test_clip_grad_norm_engages():
+    """Backbone grads are clipped to global-norm 5.0 before the
+    optimizer (arcface_torch/train.py:157-166): a huge gradient must
+    produce the same update as the same gradient pre-scaled to norm 5,
+    and a small gradient must pass through unclipped."""
+    tx, _ = arc.make_optimizers(total_steps=100, lr=0.1,
+                                clip_grad_norm=5.0)
+    params = {"w": jnp.ones((4, 4))}
+    opt = tx.init(params)
+    big = {"w": jnp.full((4, 4), 1000.0)}
+    norm = float(optax.global_norm(big))
+    pre_scaled = {"w": big["w"] * (5.0 / norm)}
+    upd_big, _ = tx.update(big, opt, params)
+    upd_ref, _ = tx.update(pre_scaled, opt, params)
+    np.testing.assert_allclose(np.asarray(upd_big["w"]),
+                               np.asarray(upd_ref["w"]), rtol=1e-6)
+    small = {"w": jnp.full((4, 4), 1e-3)}
+    tx_noclip, _ = arc.make_optimizers(total_steps=100, lr=0.1,
+                                       clip_grad_norm=None)
+    upd_s, _ = tx.update(small, opt, params)
+    upd_s_ref, _ = tx_noclip.update(small, tx_noclip.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd_s["w"]),
+                               np.asarray(upd_s_ref["w"]), rtol=1e-6)
+
+
+def test_arcface_adamw_sparse_descends():
+    """The PartialFCAdamW-equivalent head (optimizer='adamw',
+    sample_rate<1): row-sparse AdamW must descend, keep exp_avg/exp_avg_sq
+    buffers for unsampled rows untouched, and leave unsampled weights
+    frozen (reference partial_fc.py:239-349)."""
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    pfc = PartialFC(mesh, num_classes=64, embedding_dim=512,
+                    sample_rate=0.25)
+    tx, fc_tx = arc.make_optimizers(total_steps=10, lr=1e-3,
+                                    optimizer="adamw", weight_decay=0.1)
+    assert fc_tx.kind == "adamw"
+    step = arc.make_train_step(pfc, tx, fc_tx, "iresnet18",
+                               dtype=jnp.float32, donate=False)
+    rng = np.random.default_rng(5)
+    with jax.sharding.set_mesh(mesh):
+        state = arc.init_state(jax.random.PRNGKey(0), pfc, tx, fc_tx,
+                               "iresnet18")
+        assert set(state.fc_opt_state) == {"m", "v", "count"}
+        state = state._replace(
+            backbone=mesh_mod.replicate(mesh, state.backbone),
+            batch_stats=mesh_mod.replicate(mesh, state.batch_stats),
+            opt_state=mesh_mod.replicate(mesh, state.opt_state))
+        w0 = np.asarray(state.fc_weight)
+        imgs = rng.standard_normal((8, 112, 112, 3)).astype(np.float32)
+        labs = rng.integers(0, 64, 8).astype(np.int32)
+        imgs_s, labs_s = mesh_mod.shard_batch(mesh, (imgs, labs))
+        losses = []
+        for i in range(3):
+            state, m = step(state, imgs_s, labs_s, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # rows with zero exp_avg never received a gradient — their weights
+    # must be exactly the init values (no decoupled decay leaks to them)
+    m_rows = np.abs(np.asarray(state.fc_opt_state["m"])).sum(axis=1)
+    w1 = np.asarray(state.fc_weight)
+    untouched = m_rows == 0
+    assert untouched.any()
+    np.testing.assert_array_equal(w1[untouched], w0[untouched])
+
+
+def _write_tiny_bin(path, n=8, size=112, seed=0):
+    """LFW-style .bin fixture: pickled (jpeg_bytes_list, issame_list)."""
+    import io
+    import pickle
+
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    bins, issame = [], []
+    for i in range(n):
+        a = rng.integers(0, 255, (size, size, 3), np.uint8)
+        b = (a if i % 2 == 0
+             else rng.integers(0, 255, (size, size, 3), np.uint8))
+        for img in (a, b):
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="JPEG")
+            bins.append(buf.getvalue())
+        issame.append(i % 2 == 0)
+    with open(path, "wb") as f:
+        pickle.dump((bins, issame), f)
+    return path
+
+
+def test_train_arcface_cli_val_bin_non_iresnet(tmp_path):
+    """--val_bin must evaluate through the backbone registry: a non-
+    iresnet backbone (mbf) used to crash because the in-training
+    verification hardcoded iresnet_apply (VERDICT r3 weak #6)."""
+    from hfa_gp_tpu.cli import train_arcface
+
+    bin_path = _write_tiny_bin(str(tmp_path / "val.bin"))
+    args = train_arcface.build_argparser().parse_args([
+        "--network", "mbf", "--num_classes", "8", "--batch_size", "8",
+        "--num_steps", "2", "--warmup_steps", "0", "--verbose", "2",
+        "--fp32", "--val_bin", bin_path,
+    ])
+    sps = train_arcface.main(args)
+    assert sps > 0
 
 
 def test_iresnet_bf16_matches_fp32():
