@@ -80,27 +80,18 @@ def cosface_margin(target_logit: jax.Array, m: float = 0.4) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
-                       local_lab: jax.Array, s: float, m1: float,
-                       m2: float, m3: float,
-                       mm_dtype=None) -> jax.Array:
-    """Inside shard_map: emb (B, d) global batch, w_used (rows, d) this
-    shard's class centers (full or sampled), local_lab (B,) column of
-    each row's positive in w_used or −1. Margin on the target column,
-    then the distributed softmax CE (pmax/psum over the model axis —
-    reference DistCrossEntropy, partial_fc.py:441-498). Returns (1,).
-
-    mm_dtype: dtype of the (B, d)×(d, rows) cosine matmul operands
-    (fp32 accumulation). bf16 is the reference's AMP-fp16 analog — at
-    1M ids the fp32 logits matmul is MXU-bound at 1/4 peak; norms,
-    margin and softmax stay fp32 either way."""
-    norm_emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+def _ce_stats_direct(norm_emb: jax.Array, w_used: jax.Array,
+                     local_lab: jax.Array, s: float, m1: float,
+                     m2: float, m3: float, mm_dtype):
+    """One-shot logits path: materializes the full (B, rows) matrix.
+    Returns (local_max [stop-grad], sum_exp relative to local_max,
+    tgt_logit margined+scaled)."""
     norm_w = w_used / jnp.linalg.norm(w_used, axis=1, keepdims=True)
+    ne = norm_emb
     if mm_dtype is not None:
-        norm_emb = norm_emb.astype(mm_dtype)
+        ne = ne.astype(mm_dtype)
         norm_w = norm_w.astype(mm_dtype)
-    logits = jnp.dot(norm_emb, norm_w.T,
-                     preferred_element_type=jnp.float32)
+    logits = jnp.dot(ne, norm_w.T, preferred_element_type=jnp.float32)
     logits = jnp.clip(logits, -1.0, 1.0)
 
     b = logits.shape[0]
@@ -116,10 +107,140 @@ def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
     # the max shift is gradient-free in softmax; stop_gradient lets
     # pmax (no diff rule) sit under jax.grad
     local_max = jax.lax.stop_gradient(jnp.max(logits, axis=1))
-    gmax = jax.lax.pmax(local_max, MODEL_AXIS)
-    ex = jnp.exp(logits - gmax[:, None])
-    denom = jax.lax.psum(jnp.sum(ex, axis=1), MODEL_AXIS)
+    se = jnp.sum(jnp.exp(logits - local_max[:, None]), axis=1)
     tgt_logit = jnp.where(has_target, logits[rows, cols], 0.0)
+    return local_max, se, tgt_logit
+
+
+def _ce_block_stats(norm_emb: jax.Array, w_blk: jax.Array,
+                    col: jax.Array, s: float, m1: float, m2: float,
+                    m3: float, mm_dtype):
+    """One class-block's CE statistics: sum-exp (shift fixed at s) and
+    the margined target logit for rows whose target lands in this block
+    (col = local label − block start). Differentiable wrt both args —
+    the blockwise custom-VJP backward re-enters this via jax.vjp."""
+    inv = jax.lax.rsqrt(jnp.sum(jnp.square(w_blk), axis=1))
+    norm_w = w_blk * inv[:, None]
+    ne = norm_emb
+    if mm_dtype is not None:
+        ne = ne.astype(mm_dtype)
+        norm_w = norm_w.astype(mm_dtype)
+    logits = jnp.dot(ne, norm_w.T, preferred_element_type=jnp.float32)
+    logits = jnp.clip(logits, -1.0, 1.0)
+    b, k = logits.shape
+    rows = jnp.arange(b)
+    in_blk = (col >= 0) & (col < k)
+    colc = jnp.clip(col, 0, k - 1)
+    tgt = logits[rows, colc]
+    tgt_m = combined_margin(tgt, m1, m2, m3)
+    logits = logits.at[rows, colc].set(jnp.where(in_blk, tgt_m, tgt))
+    logits = logits * s
+    # fixed shift s (= the max possible scaled cosine): exp(logit−s) ≤ 1
+    # never overflows, and underflow only drops classes whose softmax
+    # weight is < e⁻⁸⁷ of the ceiling — below fp32 resolution anyway.
+    se = jnp.sum(jnp.exp(logits - s), axis=1)
+    tgt_out = jnp.where(in_blk, logits[rows, colc], 0.0)
+    return se, tgt_out
+
+
+def _make_blockwise_stats(s: float, m1: float, m2: float, m3: float,
+                          mm_dtype, block_rows: int):
+    """Streaming (flash-style) CE statistics over class blocks.
+
+    The direct path materializes (B, rows) logits plus a normalized
+    copy of the whole center table and lets AD keep table-sized
+    residuals — at 1M ids that is several full-table HBM passes per
+    step. Here a lax.scan walks `block_rows`-row blocks, keeping only
+    running (B,) accumulators; the custom VJP recomputes each block's
+    logits and emits the (block, d) weight-gradient slices directly
+    into the scan-stacked output buffer, so fwd+bwd together read the
+    table twice and write the gradient once — the HBM floor.
+    TPU-first replacement for the reference's DistCrossEntropy
+    (arcface_torch/partial_fc.py:441-498), which materializes the full
+    sharded logit matrix on GPUs."""
+
+    @jax.custom_vjp
+    def stats(norm_emb, w_local, local_lab):
+        return _fwd(norm_emb, w_local, local_lab)[0]
+
+    def _fwd(norm_emb, w_local, local_lab):
+        c = w_local.shape[0]
+        nb = c // block_rows
+        b = norm_emb.shape[0]
+
+        def body(se, i):
+            w_blk = jax.lax.dynamic_slice_in_dim(
+                w_local, i * block_rows, block_rows, 0)
+            se_c, tgt_c = _ce_block_stats(norm_emb, w_blk,
+                                          local_lab - i * block_rows,
+                                          s, m1, m2, m3, mm_dtype)
+            return se + se_c, tgt_c
+
+        se, tgt_blocks = jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                                      jnp.arange(nb))
+        tgt = jnp.sum(tgt_blocks, axis=0)   # ≤1 block hits per row
+        return (se, tgt), (norm_emb, w_local, local_lab)
+
+    def _bwd(res, cts):
+        norm_emb, w_local, local_lab = res
+        ct_se, ct_tgt = cts
+        c = w_local.shape[0]
+        nb = c // block_rows
+
+        def body(demb, i):
+            w_blk = jax.lax.dynamic_slice_in_dim(
+                w_local, i * block_rows, block_rows, 0)
+
+            def blk(ne, wb):
+                return _ce_block_stats(ne, wb, local_lab - i * block_rows,
+                                       s, m1, m2, m3, mm_dtype)
+
+            _, vjp = jax.vjp(blk, norm_emb, w_blk)
+            d_ne, d_wblk = vjp((ct_se, ct_tgt))
+            return demb + d_ne, d_wblk
+
+        demb, dw_blocks = jax.lax.scan(
+            body, jnp.zeros_like(norm_emb), jnp.arange(nb))
+        dw = dw_blocks.reshape(w_local.shape)
+        d_lab = np.zeros(local_lab.shape, jax.dtypes.float0)
+        return demb, dw, d_lab
+
+    stats.defvjp(_fwd, _bwd)
+    return stats
+
+
+def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
+                       local_lab: jax.Array, s: float, m1: float,
+                       m2: float, m3: float, mm_dtype=None,
+                       block_rows: int | None = None) -> jax.Array:
+    """Inside shard_map: emb (B, d) global batch, w_used (rows, d) this
+    shard's class centers (full or sampled), local_lab (B,) column of
+    each row's positive in w_used or −1. Margin on the target column,
+    then the distributed softmax CE (pmax/psum over the model axis —
+    reference DistCrossEntropy, partial_fc.py:441-498). Returns (1,).
+
+    mm_dtype: dtype of the (B, d)×(d, rows) cosine matmul operands
+    (fp32 accumulation). bf16 is the reference's AMP-fp16 analog — at
+    1M ids the fp32 logits matmul is MXU-bound at 1/4 peak; norms,
+    margin and softmax stay fp32 either way.
+
+    block_rows: when set and it divides the shard's row count (>1
+    block), CE statistics stream over class blocks (see
+    _make_blockwise_stats) instead of materializing (B, rows) logits."""
+    norm_emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    rows_total = w_used.shape[0]
+    if (block_rows is not None and rows_total % block_rows == 0
+            and rows_total // block_rows > 1):
+        stats = _make_blockwise_stats(s, m1, m2, m3, mm_dtype, block_rows)
+        se, tgt_logit = stats(norm_emb, w_used, local_lab)
+        local_max = jnp.full((emb.shape[0],), s, jnp.float32)
+    else:
+        local_max, se, tgt_logit = _ce_stats_direct(
+            norm_emb, w_used, local_lab, s, m1, m2, m3, mm_dtype)
+
+    has_target = local_lab >= 0
+    gmax = jax.lax.pmax(local_max, MODEL_AXIS)
+    denom = jax.lax.psum(se * jnp.exp(local_max - gmax), MODEL_AXIS)
     tgt_term = jax.lax.psum(
         jnp.where(has_target, tgt_logit - gmax, 0.0), MODEL_AXIS)
     valid = jax.lax.psum(has_target.astype(jnp.float32), MODEL_AXIS)
@@ -133,6 +254,20 @@ def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
 # sampled branch — the priority scatter-MAX and the searchsorted remap
 # are subtle enough that two copies WILL diverge)
 # ---------------------------------------------------------------------------
+
+
+def _pick_ce_block(rows: int, pref: int = 131072,
+                   min_blk: int = 4096) -> int | None:
+    """Largest divisor of `rows` ≤ pref (None if rows are small enough
+    to take the direct path, or too prime to split usefully)."""
+    if rows <= pref * 2:
+        return None
+    best = None
+    for d in range(min(pref, rows), min_blk - 1, -1):
+        if rows % d == 0:
+            best = d
+            break
+    return best
 
 
 def _shard_local_labels(lab: jax.Array, shard_idx: jax.Array,
@@ -190,7 +325,8 @@ class PartialFC:
     def __init__(self, mesh: Mesh, num_classes: int,
                  embedding_dim: int = 512, *, s: float = 64.0,
                  m1: float = 1.0, m2: float = 0.5, m3: float = 0.0,
-                 sample_rate: float = 1.0, matmul_dtype=None):
+                 sample_rate: float = 1.0, matmul_dtype=None,
+                 ce_block_rows: int | str | None = "auto"):
         self.mesh = mesh
         self.n_model = mesh.shape[MODEL_AXIS]
         self.n_data = mesh.shape[DATA_AXIS]
@@ -204,6 +340,12 @@ class PartialFC:
         self.matmul_dtype = matmul_dtype
         self.sample_rate = sample_rate
         self.num_sample = max(1, int(sample_rate * self.num_local))
+        # streaming-CE block size for the dense (sample_rate==1) path;
+        # "auto" picks a divisor of the shard's row count so big tables
+        # never materialize (B, rows) logits (see _make_blockwise_stats)
+        if ce_block_rows == "auto":
+            ce_block_rows = _pick_ce_block(self.num_local)
+        self.ce_block_rows = ce_block_rows
 
     def init(self, key: jax.Array) -> jax.Array:
         """Shard-local init: jit with out_shardings lets the partitioner
@@ -322,6 +464,7 @@ class PartialFC:
         sampled = self.sample_rate < 1.0
         s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
         mm_dtype = self.matmul_dtype
+        block_rows = None if sampled else self.ce_block_rows
 
         def shard_fn(w_local, emb_local, lab_local, key):
             # all-gather the DP batch so every model shard sees the global
@@ -342,7 +485,8 @@ class PartialFC:
                 w_used = w_local
 
             return _margin_softmax_ce(emb, w_used, local_lab,
-                                      s, m1, m2, m3, mm_dtype)
+                                      s, m1, m2, m3, mm_dtype,
+                                      block_rows=block_rows)
 
         if sample_key is None:
             if sampled:

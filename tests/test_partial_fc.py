@@ -69,6 +69,66 @@ def test_partial_fc_grads_match_dense(mesh):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_blockwise_ce_matches_dense(mesh):
+    """ce_block_rows streaming path == dense softmax (loss AND grads) —
+    the custom-VJP blockwise CE must be numerically interchangeable
+    with the direct (B, rows)-logits path."""
+    num_classes, dim, b = 64, 16, 8
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((num_classes, dim)).astype(np.float32)
+    emb = rng.standard_normal((b, dim)).astype(np.float32)
+    labels = rng.integers(0, num_classes, b).astype(np.int32)
+
+    pfc = PartialFC(mesh, num_classes, dim, ce_block_rows=8)
+    assert pfc.ce_block_rows == 8
+    w_sharded = jax.device_put(jnp.asarray(w), pfc.weight_sharding())
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (jnp.asarray(emb),
+                                               jnp.asarray(labels)))
+
+    loss, (gw, ge) = jax.value_and_grad(
+        lambda W, E: pfc.loss(W, E, lab_s), argnums=(0, 1))(
+        w_sharded, emb_s)
+    want, (gw_d, ge_d) = jax.value_and_grad(
+        dense_margin_ce, argnums=(0, 1))(
+        jnp.asarray(w), jnp.asarray(emb), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_d),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_blockwise_ce_no_positive_rows(mesh):
+    """label −1 rows (no positive anywhere) flow through the blockwise
+    path: finite loss, zero target-term contribution."""
+    num_classes, dim, b = 64, 16, 8
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal((num_classes, dim)).astype(np.float32)
+    emb = rng.standard_normal((b, dim)).astype(np.float32)
+    labels = rng.integers(0, num_classes, b).astype(np.int32)
+    labels[1] = -1
+    labels[5] = -1
+
+    blk = PartialFC(mesh, num_classes, dim, ce_block_rows=8)
+    ref = PartialFC(mesh, num_classes, dim, ce_block_rows=None)
+    w_s = jax.device_put(jnp.asarray(w), blk.weight_sharding())
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (jnp.asarray(emb),
+                                               jnp.asarray(labels)))
+    lb = float(blk.loss(w_s, emb_s, lab_s))
+    lr = float(ref.loss(w_s, emb_s, lab_s))
+    assert np.isfinite(lb)
+    np.testing.assert_allclose(lb, lr, rtol=1e-5)
+
+
+def test_pick_ce_block_auto():
+    from hfa_gp_tpu.parallel.partial_fc import _pick_ce_block
+    assert _pick_ce_block(1_000_000) == 125_000
+    assert _pick_ce_block(64) is None             # small → direct
+    assert _pick_ce_block(2 ** 20) == 2 ** 17
+    # too prime to split: falls back to direct
+    assert _pick_ce_block(1_000_003) is None
+
+
 def test_partial_fc_sampled_runs_and_descends(mesh):
     """sample_rate<1: loss is finite and a GD step on the sampled loss
     reduces it (positives always kept)."""

@@ -34,8 +34,11 @@ NETWORK = "iresnet50"
 def run(num_classes: int, sample_rate: float, steps: int) -> float:
     mesh = mesh_mod.make_mesh(n_data=1, n_model=1,
                               devices=jax.devices()[:1])
+    ce_blk = os.environ.get("ARC_CE_BLOCK", "auto")   # "0" = direct CE
     pfc = PartialFC(mesh, num_classes=num_classes, embedding_dim=512,
-                    sample_rate=sample_rate, matmul_dtype=jnp.bfloat16)
+                    sample_rate=sample_rate, matmul_dtype=jnp.bfloat16,
+                    ce_block_rows=None if ce_blk == "0" else
+                    ("auto" if ce_blk == "auto" else int(ce_blk)))
     tx, fc_tx = arc.make_optimizers(total_steps=10_000, lr=0.1)
     step = arc.make_train_step(pfc, tx, fc_tx, NETWORK,
                                dtype=jnp.bfloat16, donate=True)
@@ -51,12 +54,21 @@ def run(num_classes: int, sample_rate: float, steps: int) -> float:
 
         state, m = step(state, imgs, labs, key)       # compile
         _ = float(m["loss"])
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, m = step(state, imgs, labs,
-                            jax.random.fold_in(key, i))
-        _ = float(m["loss"])                          # one drain
-        dt = (time.perf_counter() - t0) / steps
+        # three rounds; report the LAST (steady state): the first
+        # ~40 post-compile steps run ~20% slow while the allocator
+        # churns toward a stable layout near the 16 GB ceiling
+        # (measured r4: round 1 ≈ 210 ms/step, steady 167 ms at
+        # 1M ids; tools/probe_arc_pipeline.py)
+        i = 0
+        for r in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = step(state, imgs, labs,
+                                jax.random.fold_in(key, i))
+                i += 1
+            _ = float(m["loss"])                      # one drain
+            dt = (time.perf_counter() - t0) / steps
+            print(f"  round {r}: {dt * 1e3:.1f} ms/step", flush=True)
     sps = BATCH / dt
     fc_gb = 2 * num_classes * 512 * 4 / 1e9
     mode = "full" if sample_rate >= 1.0 else f"pfc{sample_rate}"

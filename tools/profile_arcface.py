@@ -62,7 +62,9 @@ def main():
                                   (BATCH, 112, 112, 3), jnp.float32)
         labs = jax.random.randint(jax.random.PRNGKey(3), (BATCH,), 0,
                                   IDS, jnp.int32)
-        emb0 = jnp.zeros((BATCH, 512), jnp.float32)
+        # nonzero: emb/||emb|| at zeros is NaN (poisons the pfc drain)
+        emb0 = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 512),
+                                 jnp.float32)
 
         def apply_bb(bb, stats, imgs):
             return registry.backbone_apply(NETWORK, bb, stats, imgs,
@@ -116,8 +118,11 @@ def main():
             s, _ = jax.lax.scan(body, 0.0, None, length=K)
             return s
 
+        # donate: K pipelined non-donating steps would hold K live
+        # 4 GB fc-table+momentum states (OOMs a 16 GB v5e at 1M ids) —
+        # so `full` runs LAST, after every probe that reads `state`
         step = arc.make_train_step(pfc, tx, fc_tx, NETWORK, dtype=DTYPE,
-                                   donate=False)
+                                   donate=True)
 
         def full(state):
             t0 = None
@@ -135,7 +140,6 @@ def main():
             return dt
 
         print(f"net={NETWORK} batch={BATCH} ids={IDS:,} K={K}", flush=True)
-        t_full = full(state)
         timed("fwd", fwd, state.backbone, state.batch_stats, imgs0)
         timed("fwd_bwd", fwd_bwd, state.backbone, state.batch_stats,
               imgs0)
@@ -144,6 +148,8 @@ def main():
         g_fc = jnp.zeros_like(state.fc_weight)
         timed("opt", opt_only, state.backbone, state.opt_state, g_like,
               state.fc_weight, state.fc_opt_state, g_fc)
+        del g_like, g_fc
+        t_full = full(state)   # donates state — must run last
         flops = 11.75e9 * 3 * BATCH
         print(f"MFU at full: {flops / t_full / 197e12 * 100:.1f}% "
               f"(conv fwd+bwd only, 197 bf16 TFLOP/s peak)", flush=True)
