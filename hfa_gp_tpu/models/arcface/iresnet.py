@@ -66,7 +66,13 @@ def _bn(p, stats, x, train: bool):
     if train:
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
-        var = jnp.var(xf, axis=axes)
+        # E[x²]−E[x]² instead of jnp.var: the centered form's second
+        # reduction DEPENDS on the first's result, forcing a second
+        # read pass over the activation; these two are independent →
+        # XLA multi-output-fuses them into one pass. fp32 accumulation
+        # keeps the cancellation benign at BN-activation scales.
+        var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean,
+                          0.0)
         new_stats = {
             "mean": (1 - _BN_MOMENTUM) * stats["mean"] + _BN_MOMENTUM * mean,
             "var": (1 - _BN_MOMENTUM) * stats["var"] + _BN_MOMENTUM * var,

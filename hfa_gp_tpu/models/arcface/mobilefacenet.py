@@ -47,7 +47,11 @@ def _bn(p, st, x, train):
     xf = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean, var = jnp.mean(xf, axis=axes), jnp.var(xf, axis=axes)
+        mean = jnp.mean(xf, axis=axes)
+        # one-pass E[x²]−E[x]² (independent sibling reductions fuse;
+        # jnp.var's centered pass re-reads the activation) — iresnet._bn
+        var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean,
+                          0.0)
         new = {"mean": (1 - _BN_MOMENTUM) * st["mean"] + _BN_MOMENTUM * mean,
                "var": (1 - _BN_MOMENTUM) * st["var"] + _BN_MOMENTUM * var}
     else:

@@ -82,7 +82,8 @@ def _init_bn1d(c):
 
 def _bn1d(p, st, x, train):
     if train:
-        mean, var = jnp.mean(x, axis=0), jnp.var(x, axis=0)
+        mean = jnp.mean(x, axis=0)
+        var = jnp.maximum(jnp.mean(x * x, axis=0) - mean * mean, 0.0)
         new = {"mean": (1 - _BN_MOMENTUM) * st["mean"] + _BN_MOMENTUM * mean,
                "var": (1 - _BN_MOMENTUM) * st["var"] + _BN_MOMENTUM * var}
     else:

@@ -38,15 +38,23 @@ DTYPE = jnp.bfloat16
 
 def time_variant(name, fn, state, imgs, labs):
     # every variant donates its state (two live 4 GB fc tables OOM the
-    # chip at 1M ids) and returns the final one for the next variant
+    # chip at 1M ids) and returns the final one for the next variant.
+    # THREE rounds, report the LAST: the first ~40 post-compile steps
+    # of each program run ~20% slow while the allocator churns toward
+    # a stable layout (r4; also re-triggered when switching programs —
+    # a single-round probe here once read C backbone-only SLOWER than
+    # the full step)
     key = jax.random.PRNGKey(1)
     st, m = fn(state, imgs, labs, key)          # compile
     _ = float(m)
-    t0 = time.perf_counter()
-    for i in range(K):
-        st, m = fn(st, imgs, labs, jax.random.fold_in(key, i))
-        _ = float(m)                            # drain every step
-    dt = (time.perf_counter() - t0) / K - 0.035   # RTT + dispatch
+    i = 0
+    for r in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            st, m = fn(st, imgs, labs, jax.random.fold_in(key, i))
+            _ = float(m)                        # drain every step
+            i += 1
+        dt = (time.perf_counter() - t0) / K - 0.035   # RTT + dispatch
     print(f"{name:12s}: {dt * 1e3:8.2f} ms/step", flush=True)
     return dt, st
 
