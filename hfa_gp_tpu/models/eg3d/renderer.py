@@ -497,10 +497,25 @@ def ray_march(colors: jax.Array, densities: jax.Array, depths: jax.Array,
         raise ValueError(cfg.clamp_mode)
 
     density_delta = densities_mid * deltas
-    alpha = 1.0 - jnp.exp(-density_delta)
-    alpha_shifted = jnp.concatenate(
-        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2)
-    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+    dd = density_delta[..., 0]                         # (B, R, N-1)
+    alpha = 1.0 - jnp.exp(-dd)
+    # Transmittance WITHOUT cumprod. The reference computes
+    # T_i = cumprod(1 - alpha + 1e-10)_{j<i}; since 1 - alpha_j =
+    # exp(-dd_j), each factor's log is logaddexp(-dd_j, log 1e-10)
+    # (stable for any dd >= 0) and the exclusive prefix sum is ONE
+    # strictly-upper-triangular matmul on the MXU. jnp.cumprod's AD
+    # lowers to ~45 strided slice/mul/pad ops on (…, N, 1)-minor
+    # layouts (128x lane padding) and cost ~2/3 of the whole render
+    # backward at batch 2 (tools/probe_merge_march*.py: merged-march
+    # bwd 157.8 -> see STATUS r4); the matmul's backward is just the
+    # transposed matmul. HIGHEST precision: the exponent sum reaches
+    # ~1e3, and bf16-reduced fp32 dots would cost ~1e-4 absolute there.
+    log_t = jnp.logaddexp(-dd, math.log(1e-10))
+    n1 = dd.shape[-1]
+    tri = jnp.asarray(np.triu(np.ones((n1, n1), np.float32), 1))
+    excl = jnp.einsum("brn,nm->brm", log_t, tri,
+                      precision=jax.lax.Precision.HIGHEST)
+    weights = (alpha * jnp.exp(excl))[..., None]       # (B, R, N-1, 1)
 
     composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
     weight_total = jnp.sum(weights, axis=-2)
@@ -581,12 +596,15 @@ def _apply_ranks_fwd(feats, rank):
 
 def _apply_ranks_bwd(rank, g):
     n = rank.shape[-1]
-    dst = jnp.arange(n, dtype=jnp.int32)
     # inverse permutation (inv_rank[rank[s]] = s), then re-enter the
     # forward einsum verbatim: d_feats[s] = g[rank[s]] means scattering
-    # g[p] to slot inv_rank[p] — exactly _apply_ranks(g, inv_rank)
-    cmp = rank[..., :, None] == dst              # (B, R, src, dst)
-    inv_rank = jnp.sum(cmp * dst[:, None], axis=-2)
+    # g[p] to slot inv_rank[p] — exactly _apply_ranks(g, inv_rank).
+    # argsort(rank) via ONE keys-only sort_key_val: the N² broadcast
+    # compare-reduce this replaces materialized four s32 (B,R,N,N)
+    # tensors (~1.2 GB each at batch 2) in the backward HLO.
+    iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32), rank.shape)
+    _, inv_rank = jax.lax.sort_key_val(rank, iota, dimension=-1)
     return (_apply_ranks(g, inv_rank),
             np.zeros(rank.shape, jax.dtypes.float0))
 
