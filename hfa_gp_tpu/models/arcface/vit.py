@@ -82,8 +82,12 @@ def _init_bn1d(c):
 
 def _bn1d(p, st, x, train):
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.maximum(jnp.mean(x * x, axis=0) - mean * mean, 0.0)
+        # fp32 batch stats regardless of compute dtype (matches
+        # iresnet._bn / mobilefacenet._bn): the one-pass E[x²]−E[x]²
+        # cancellation is catastrophic in an 8-bit-mantissa bf16 head
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=0)
+        var = jnp.maximum(jnp.mean(xf * xf, axis=0) - mean * mean, 0.0)
         new = {"mean": (1 - _BN_MOMENTUM) * st["mean"] + _BN_MOMENTUM * mean,
                "var": (1 - _BN_MOMENTUM) * st["var"] + _BN_MOMENTUM * var}
     else:

@@ -249,6 +249,10 @@ def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
     has_target = local_lab >= 0
     gmax = jax.lax.pmax(local_max, MODEL_AXIS)
     denom = jax.lax.psum(se * jnp.exp(local_max - gmax), MODEL_AXIS)
+    # the blockwise path's fixed shift can underflow se to exactly 0 if
+    # every cosine on every shard sits below ~1 − 87/s; floor the denom
+    # like the reference's clamp_min_(1e-30) so log() stays finite
+    denom = jnp.maximum(denom, 1e-30)
     tgt_term = jax.lax.psum(
         jnp.where(has_target, tgt_logit - gmax, 0.0), MODEL_AXIS)
     valid = jax.lax.psum(has_target.astype(jnp.float32), MODEL_AXIS)
@@ -270,12 +274,16 @@ def _pick_ce_block(rows: int, pref: int = 131072,
     to take the direct path, or too prime to split usefully)."""
     if rows <= pref * 2:
         return None
-    best = None
-    for d in range(min(pref, rows), min_blk - 1, -1):
+    # enumerate divisors of rows directly from its factorization (O(√rows)
+    # + divisor count) instead of counting down from pref (O(pref) probes)
+    divs = []
+    d = 1
+    while d * d <= rows:
         if rows % d == 0:
-            best = d
-            break
-    return best
+            divs.extend((d, rows // d))
+        d += 1
+    cands = [d for d in divs if min_blk <= d <= pref]
+    return max(cands) if cands else None
 
 
 def _shard_local_labels(lab: jax.Array, shard_idx: jax.Array,
