@@ -7,7 +7,8 @@ import argparse
 import jax
 import numpy as np
 
-from ..data import BatchIterator, HeadData3DMM, infinite_batches
+from ..data import BatchIterator, HeadData3DMM, infinite_batches, \
+    process_sharded
 from ..models.avatar import heads
 from ..parallel import mesh as mesh_mod
 from ..train import checkpoint as ckpt
@@ -39,7 +40,8 @@ def main(args) -> None:
                            person=args.person)
     dataset_test = HeadData3DMM("test", size=args.size, root=root,
                                 person=args.person)
-    loader = infinite_batches(BatchIterator(dataset, args.batch_size))
+    # seed-synced permutation; each process loads ONLY its rows
+    loader = infinite_batches(process_sharded(dataset, args.batch_size))
     loader_test = infinite_batches(
         BatchIterator(dataset_test, 1, shuffle=False))
 
@@ -66,10 +68,8 @@ def main(args) -> None:
 
         for idx in range(args.iter):
             i = idx + args.start_iter
-            real_image, label, coeffs = next(loader)
-            batch = mesh_mod.shard_batch(
-                mesh,
-                mesh_mod.process_local_batch((real_image, label, coeffs)))
+            real_image, label, coeffs = next(loader)  # process-local rows
+            batch = mesh_mod.shard_batch(mesh, (real_image, label, coeffs))
             state, metrics = step_fn(state, lpips_params, *batch)
             writer.scalars(idx, l2_loss=metrics["l2_loss"],
                            lpips_loss=metrics["lpips_loss"],

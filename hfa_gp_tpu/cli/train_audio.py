@@ -11,7 +11,7 @@ import argparse
 import jax
 import numpy as np
 
-from ..data import BatchIterator, HeadDataAudio, infinite_batches
+from ..data import HeadDataAudio, infinite_batches, process_sharded
 from ..parallel import mesh as mesh_mod
 from ..train import audio as audio_train
 from ..train import checkpoint as ckpt
@@ -69,8 +69,10 @@ def main(args) -> None:
             state = ckpt.restore(args.resume_ckpt, state)
             args.start_iter = int(state.step)
 
-        # index-based loader so audio windows can be gathered per step
-        idx_iter = infinite_batches(BatchIterator(
+        # index-based loader so audio windows can be gathered per step;
+        # process-sharded: each process draws only ITS rows of the
+        # seed-synced global permutation
+        idx_iter = infinite_batches(process_sharded(
             list(range(len(dataset))), args.batch_size,
             collate=lambda items: np.asarray(items)))
 
@@ -99,9 +101,7 @@ def main(args) -> None:
             else:
                 wins = np.stack([dataset.get_audio(int(j)) for j in ids])
                 step_fn = step_plain
-            batch = mesh_mod.shard_batch(
-                mesh,
-                mesh_mod.process_local_batch((imgs, labels, wins)))
+            batch = mesh_mod.shard_batch(mesh, (imgs, labels, wins))
             state, metrics = step_fn(state, lpips_params, *batch)
             writer.scalars(idx, l2_loss=metrics["l2_loss"],
                            lpips_loss=metrics["lpips_loss"])

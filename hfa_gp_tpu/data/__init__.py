@@ -1,2 +1,3 @@
 from .dataset import (HeadData, HeadDataTest, HeadData3DMM,  # noqa: F401
-                      HeadDataAudio, BatchIterator, infinite_batches)
+                      HeadDataAudio, BatchIterator, infinite_batches,
+                      process_sharded, EpochSeededBatches)

@@ -200,28 +200,43 @@ class HeadDataAudio(HeadData):
 class BatchIterator:
     """Shuffled epoch batcher → stacked numpy arrays.
 
-    The DistributedSampler equivalent: under DP the *global* batch is
-    assembled here and sharded over the mesh 'data' axis by
-    parallel.shard_batch — one logical stream instead of per-rank
-    loaders (train_rgb.py:85-92)."""
+    The DistributedSampler equivalent (utils_distributed_sampler.py:11-126):
+    the index permutation is seed-synced, so every process draws the SAME
+    global batch order; with num_shards > 1 each process then loads ONLY
+    its own `batch_size/num_shards` rows of every global batch (the
+    reference's per-rank reader contract — no host ever decodes the full
+    global batch) and parallel.shard_batch assembles the global array from
+    the per-process slices."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 collate=None):
+                 collate=None, num_shards: int = 1, shard_index: int = 0):
+        assert batch_size % num_shards == 0, \
+            f"global batch {batch_size} must divide shard count {num_shards}"
+        assert 0 <= shard_index < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.collate = collate
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __iter__(self) -> Iterator:
         n = len(self.dataset)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         end = (n // bs) * bs if self.drop_last else n
+        local = bs // self.num_shards
         for i in range(0, end, bs):
             idxs = order[i:i + bs]
+            if self.num_shards > 1:
+                # this process's rows of the global batch — the slice
+                # parallel.mesh.process_local_batch would take, loaded
+                # directly instead of after a full global decode
+                idxs = idxs[self.shard_index * local:
+                            (self.shard_index + 1) * local]
             items = [self.dataset[int(j)] for j in idxs]
             if self.collate is not None:
                 yield self.collate(items)
@@ -234,7 +249,67 @@ class BatchIterator:
             else -(-n // self.batch_size)
 
 
+def process_sharded(dataset, batch_size: int, **kw) -> "BatchIterator":
+    """BatchIterator that loads only this jax process's slice of every
+    global batch (identity on single-process runs)."""
+    import jax
+    return BatchIterator(dataset, batch_size,
+                         num_shards=jax.process_count(),
+                         shard_index=jax.process_index(), **kw)
+
+
 def infinite_batches(loader: BatchIterator) -> Iterator:
     """`sample_data` equivalent (train_rgb.py:24-27)."""
     while True:
         yield from loader
+
+
+class EpochSeededBatches:
+    """Stateless, resumable batch stream: batch t is a PURE FUNCTION of
+    (seed, t) — the permutation is reseeded per epoch exactly like the
+    reference's DistributedSampler.set_epoch contract
+    (utils_distributed_sampler.py:63-71), so a run checkpointed at step k
+    and restarted with start_batch=k replays the identical data order
+    with no batches re-read. Per-process sharding as in BatchIterator:
+    every process sees the same global permutation but loads only its
+    own batch_size/num_shards rows."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0,
+                 start_batch: int = 0):
+        assert batch_size % num_shards == 0
+        assert 0 <= shard_index < num_shards
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.start_batch = start_batch
+        self._bpe = max(len(dataset) // batch_size, 1)
+        self._cached_epoch = None
+        self._order = None
+
+    def batch_indices(self, t: int) -> np.ndarray:
+        """Global (then shard-sliced) dataset indices of batch t."""
+        epoch, off = divmod(t, self._bpe)
+        if epoch != self._cached_epoch:
+            self._order = np.random.default_rng(
+                [self.seed, epoch]).permutation(len(self.dataset))
+            self._cached_epoch = epoch
+        bs = self.batch_size
+        idxs = self._order[off * bs:(off + 1) * bs]
+        if len(idxs) < bs:          # tail epoch smaller than one batch
+            idxs = np.resize(idxs, bs)
+        local = bs // self.num_shards
+        return idxs[self.shard_index * local:
+                    (self.shard_index + 1) * local]
+
+    def load(self, t: int):
+        items = [self.dataset[int(j)] for j in self.batch_indices(t)]
+        return tuple(np.stack(col) for col in zip(*items))
+
+    def __iter__(self) -> Iterator:
+        t = self.start_batch
+        while True:
+            yield self.load(t)
+            t += 1
