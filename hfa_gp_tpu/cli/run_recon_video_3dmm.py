@@ -56,6 +56,8 @@ def load_params(args, cfg):
 
 
 def main(args) -> None:
+    from ..parallel import distributed
+    distributed.maybe_initialize(args)   # multi-host: global devices
     mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
     n_data = mesh.shape[mesh_mod.DATA_AXIS]
     # n_data in the config gates the shard_map-DP Pallas render path
@@ -89,18 +91,25 @@ def main(args) -> None:
         for start in range(0, n, bs):
             idxs = list(range(start, min(start + bs, n)))
             pad = bs - len(idxs)
-            items = [dataset[i] for i in idxs] + [dataset[idxs[-1]]] * pad
+            gidxs = idxs + [idxs[-1]] * pad
+            # process-local rows only (multi-host shard_batch contract)
+            items = [dataset[i] for i in mesh_mod.process_slice(gidxs)]
             labels = np.stack([fixed_label if fixed_label is not None
                                else it[1] for it in items])
             coeffs = np.stack([it[2] for it in items])
             coeffs_s, labels_s = mesh_mod.shard_batch(mesh,
                                                       (coeffs, labels))
-            out = np.asarray(reenact(params, coeffs_s, labels_s))
-            for j in range(len(idxs)):
-                save_image(out[j],
-                           os.path.join(save_path, f"{frame_idx:05d}.png"))
-                frame_idx += 1
+            out = mesh_mod.host_gather(reenact(params, coeffs_s, labels_s))
+            if distributed.is_primary():
+                for j in range(len(idxs)):
+                    save_image(out[j], os.path.join(
+                        save_path, f"{frame_idx:05d}.png"))
+                    frame_idx += 1
+            else:
+                frame_idx += len(idxs)
 
+    if not distributed.is_primary():
+        return
     gt_dir = dataset.ds_path if args.cat_video else None
     common.write_video(save_path, os.path.join(save_path, "rec.mp4"),
                        fps=args.fps, side_by_side_dir=gt_dir)

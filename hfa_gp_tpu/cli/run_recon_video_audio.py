@@ -60,6 +60,9 @@ def load_params(args, cfg):
 
 def main(args) -> None:
     import dataclasses
+
+    from ..parallel import distributed
+    distributed.maybe_initialize(args)   # multi-host: global devices
     mesh = mesh_mod.make_mesh_for_batch(args.render_batch, n_model=args.n_model)
     n_data = mesh.shape[mesh_mod.DATA_AXIS]
     # n_data in the config gates the shard_map-DP Pallas render path
@@ -91,7 +94,8 @@ def main(args) -> None:
         for start in range(0, n, bs):
             idxs = list(range(start, min(start + bs, n)))
             pad = bs - len(idxs)
-            full = idxs + [idxs[-1]] * pad
+            # process-local rows only (multi-host shard_batch contract)
+            full = mesh_mod.process_slice(idxs + [idxs[-1]] * pad)
             labels = np.stack([dataset[i][1] for i in full])
             if smooth:
                 auds = np.stack([dataset.get_audio_window(i)
@@ -99,12 +103,17 @@ def main(args) -> None:
             else:
                 auds = np.stack([dataset.get_audio(i) for i in full])
             auds_s, labels_s = mesh_mod.shard_batch(mesh, (auds, labels))
-            out = np.asarray(reenact(params, auds_s, labels_s))
-            for j in range(len(idxs)):
-                save_image(out[j],
-                           os.path.join(save_path, f"{frame_idx:05d}.png"))
-                frame_idx += 1
+            out = mesh_mod.host_gather(reenact(params, auds_s, labels_s))
+            if distributed.is_primary():
+                for j in range(len(idxs)):
+                    save_image(out[j], os.path.join(
+                        save_path, f"{frame_idx:05d}.png"))
+                    frame_idx += 1
+            else:
+                frame_idx += len(idxs)
 
+    if not distributed.is_primary():
+        return
     gt_dir = dataset.ds_path if args.cat_video else None
     common.write_video(save_path, os.path.join(save_path, "rec.mp4"),
                        fps=args.fps, side_by_side_dir=gt_dir)

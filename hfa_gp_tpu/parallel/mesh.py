@@ -111,6 +111,32 @@ def process_local_batch(tree):
     return jax.tree_util.tree_map(sl, tree)
 
 
+def process_slice(seq):
+    """This process's contiguous share of a GLOBAL per-batch sequence
+    (e.g. the frame indices of one reenactment batch): rows
+    [pid·local, (pid+1)·local) — the slice whose loaded data
+    `shard_batch` expects under multi-process. Single-process:
+    identity."""
+    n, pid = jax.process_count(), jax.process_index()
+    if n == 1:
+        return seq
+    assert len(seq) % n == 0, \
+        f"global batch {len(seq)} must divide process count {n}"
+    local = len(seq) // n
+    return seq[pid * local:(pid + 1) * local]
+
+
+def host_gather(x):
+    """Globally-sharded device array → full numpy array on EVERY host.
+    Single-process: plain fetch. Multi-process: all-gather over the
+    process set (a sharded output is not fully addressable on any one
+    host, so np.asarray would throw)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params / optimizer state) on the mesh.
     Works multi-process too: every process passes the same host values
