@@ -153,6 +153,66 @@ def upsample2d(x: jax.Array, kernel: jax.Array | np.ndarray,
                      gain=float(factor) ** 2)
 
 
+def _upfirdn1d_matrix(h: int, taps: np.ndarray, up: int,
+                      pad: tuple[int, int]) -> np.ndarray:
+    """Dense (out_len, h) matrix of the 1-D upfirdn axis op.
+
+    Mirrors upfirdn2d's conv exactly: dilate the input to (h-1)*up+1
+    samples, pad (pad0, pad1 + up - 1), correlate with the FLIPPED taps.
+    """
+    kf = np.asarray(taps, np.float64)[::-1]
+    kh = len(kf)
+    n_dil = (h - 1) * up + 1
+    pad_l = pad[0]
+    out_len = n_dil + pad[0] + pad[1] + (up - 1) - kh + 1
+    u = np.zeros((out_len, h), np.float64)
+    for o in range(out_len):
+        for t in range(kh):
+            i = o + t - pad_l
+            if 0 <= i < n_dil and i % up == 0:
+                u[o, i // up] += kf[t]
+    return u.astype(np.float32)
+
+
+_UPSAMPLE_MAT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def upsample2d_cm(x: jax.Array, taps: Sequence[float],
+                  factor: int = 2) -> jax.Array:
+    """upsample2d for CHANNEL-MAJOR (B, C, H, W) tensors, as two separable
+    dense matmuls instead of a depthwise conv.
+
+    Bit-path rationale (measured r5, tools/probe_sr_bwd*.py): the SR head's
+    img skip chain carries 3-channel tensors; in NHWC every materialization
+    has minor dim 3 and XLA pads it ~42× in T(8,128) layouts — ~14 ms of
+    hidden padded copies per fwd+bwd at batch 2. Channel-major keeps W
+    (≥128) minor everywhere, and the separable FIR as dense (2H, H)
+    matmuls is layout-clean with a transposed-matmul backward. FLOPs are
+    trivial (banded matrix, ~GFLOP at 512²).
+
+    Matches ops.upsample2d exactly: same pads, same flipped kernel, same
+    gain = factor² (split as `factor` per axis on the normalized taps).
+    """
+    k = np.asarray(taps, np.float64)
+    assert k.ndim == 1, "upsample2d_cm needs the 1-D taps (separable FIR)"
+    kh = len(k)
+    p0 = (kh + factor - 1) // 2
+    p1 = (kh - factor) // 2
+    axis_taps = k / k.sum() * factor
+    b, c, h, w = x.shape
+    key_h = (h, factor, tuple(k.tolist()))
+    key_w = (w, factor, tuple(k.tolist()))
+    for key, n in ((key_h, h), (key_w, w)):
+        if key not in _UPSAMPLE_MAT_CACHE:
+            _UPSAMPLE_MAT_CACHE[key] = _upfirdn1d_matrix(
+                n, axis_taps, factor, (p0, p1))
+    uh = jnp.asarray(_UPSAMPLE_MAT_CACHE[key_h], x.dtype)
+    uw = jnp.asarray(_UPSAMPLE_MAT_CACHE[key_w], x.dtype)
+    y = jax.lax.dot_general(uh, x, (((1,), (2,)), ((), ())))  # (2H,B,C,W)
+    y = jnp.transpose(y, (1, 2, 0, 3))                        # major-only
+    return jax.lax.dot_general(y, uw, (((3,), (1,)), ((), ())))
+
+
 def downsample2d(x: jax.Array, kernel: jax.Array | np.ndarray,
                  factor: int = 2) -> jax.Array:
     kh = np.asarray(kernel).shape[0]

@@ -192,6 +192,27 @@ def torgb_apply(p: Params, x: jax.Array, w: jax.Array, *,
     return ops.bias_act(y, p["bias"], clamp=conv_clamp)
 
 
+def torgb_apply_cm(p: Params, x: jax.Array, w: jax.Array, *,
+                   conv_clamp) -> jax.Array:
+    """torgb_apply emitting CHANNEL-MAJOR (B, Cout, H, W).
+
+    Same math as torgb_apply (1x1 non-demodulated modconv = one matmul
+    over Cin), but the dot_general emits (Cout, B, H, W) directly so the
+    3-channel img chain never materializes a minor-dim-3 NHWC tensor
+    (see ops.upsample2d_cm for the measured layout rationale)."""
+    in_ch = p["weight"].shape[2]
+    styles = ops.fully_connected(w, **p["affine"])
+    styles = styles * (1.0 / math.sqrt(in_ch))  # weight_gain (kernel 1)
+    xs = x * styles[:, None, None, :].astype(x.dtype)
+    w1 = p["weight"][0, 0].astype(x.dtype)                      # (Cin, Cout)
+    y = jax.lax.dot_general(w1, xs, (((0,), (3,)), ((), ())))  # (Co,B,H,W)
+    y = jnp.transpose(y, (1, 0, 2, 3))  # major-dims-only: minor stays W
+    y = y + p["bias"].astype(y.dtype)[None, :, None, None]
+    if conv_clamp is not None:
+        y = jnp.clip(y, -conv_clamp, conv_clamp)
+    return y
+
+
 def init_block(key, in_ch, out_ch, w_dim, resolution, img_channels, *,
                is_first: bool, up: bool = True) -> Params:
     ks = jax.random.split(key, 4)
@@ -211,12 +232,16 @@ def block_apply(p: Params, x: jax.Array | None, img: jax.Array | None,
                 ws_block: jax.Array, *, fir, conv_clamp,
                 up: bool, noise_mode: str = "const",
                 rng: jax.Array | None = None,
-                compute_dtype=jnp.float32
+                compute_dtype=jnp.float32,
+                img_cm: bool = False
                 ) -> tuple[jax.Array, jax.Array]:
     """One skip-architecture SynthesisBlock.
 
     ws_block: (B, 3, w_dim) — conv0 (if present), conv1, torgb slots
-    (the first block consumes slots 0: conv1 and 1: torgb)."""
+    (the first block consumes slots 0: conv1 and 1: torgb).
+
+    img_cm=True runs the img skip chain channel-major (B, C_img, H, W) —
+    used by the SR head where C_img=3 makes NHWC layouts pathological."""
     rngs = (jax.random.split(rng, 2) if rng is not None else (None, None))
     w_i = 0
     if "const" in p:
@@ -232,11 +257,13 @@ def block_apply(p: Params, x: jax.Array | None, img: jax.Array | None,
                           conv_clamp=conv_clamp, noise_mode=noise_mode,
                           rng=rngs[1])
     w_i += 1
-    y = torgb_apply(p["torgb"], x, ws_block[:, w_i], conv_clamp=conv_clamp)
+    torgb = torgb_apply_cm if img_cm else torgb_apply
+    y = torgb(p["torgb"], x, ws_block[:, w_i], conv_clamp=conv_clamp)
     y = y.astype(jnp.float32)
     if img is not None:
         if up:
-            img = ops.upsample2d(img, ops.make_fir_kernel(fir))
+            img = (ops.upsample2d_cm(img, fir) if img_cm else
+                   ops.upsample2d(img, ops.make_fir_kernel(fir)))
         img = img + y
     else:
         img = y
@@ -329,12 +356,16 @@ def superresolution_apply(params: Params, cfg: SRConfig, rgb: jax.Array,
         x = _bilinear_resize(x, cfg.input_resolution, cfg.antialias)
         rgb = _bilinear_resize(rgb, cfg.input_resolution, cfg.antialias)
     rngs = (jax.random.split(rng, 2) if rng is not None else (None, None))
+    # The 3-channel img chain runs channel-major end to end: one transpose
+    # in at 128² (cheap) and one out at 512², instead of padded NHWC
+    # materializations at every torgb/upsample/add boundary (r5 probes).
+    rgb = jnp.transpose(rgb, (0, 3, 1, 2))
     x, rgb = block_apply(params["block0"], x, rgb, w_last, fir=cfg.fir,
                          conv_clamp=cfg.conv_clamp, up=True,
                          noise_mode=noise_mode, rng=rngs[0],
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, img_cm=True)
     x, rgb = block_apply(params["block1"], x, rgb, w_last, fir=cfg.fir,
                          conv_clamp=cfg.conv_clamp, up=True,
                          noise_mode=noise_mode, rng=rngs[1],
-                         compute_dtype=compute_dtype)
-    return rgb
+                         compute_dtype=compute_dtype, img_cm=True)
+    return jnp.transpose(rgb, (0, 2, 3, 1))

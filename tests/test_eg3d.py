@@ -282,6 +282,32 @@ def test_upsample2d_matches_reference():
                                atol=1e-5)
 
 
+def test_channel_major_img_chain_parity():
+    """The SR head's channel-major img chain (upsample2d_cm + torgb_apply_cm,
+    the r5 layout fix for minor-dim-3 NHWC padding) is float-exact vs the
+    NHWC formulation, including non-symmetric taps (kernel-flip path)."""
+    from hfa_gp_tpu.core import ops
+    from hfa_gp_tpu.models.eg3d import networks as nets
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 17, 17, 3)).astype(np.float32))
+    for taps in ((1, 3, 3, 1), (1.0, 2.0, 4.0, 1.0)):
+        ref = ops.upsample2d(x, ops.make_fir_kernel(taps))
+        got = jnp.transpose(
+            ops.upsample2d_cm(jnp.transpose(x, (0, 3, 1, 2)), taps),
+            (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    p = nets._init_torgb(jax.random.PRNGKey(0), 32, 3, 64)
+    xx = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    a = nets.torgb_apply(p, xx, w, conv_clamp=256.0)
+    b = jnp.transpose(nets.torgb_apply_cm(p, xx, w, conv_clamp=256.0),
+                      (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_mapping_truncation(gen):
     """Truncation lerps toward w_avg (networks_stylegan2 mapping
     semantics): psi=0 → w_avg, psi=0.5 → midpoint."""
