@@ -196,17 +196,24 @@ def torgb_apply_cm(p: Params, x: jax.Array, w: jax.Array, *,
                    conv_clamp) -> jax.Array:
     """torgb_apply emitting CHANNEL-MAJOR (B, Cout, H, W).
 
-    Same math as torgb_apply (1x1 non-demodulated modconv = one matmul
-    over Cin), but the dot_general emits (Cout, B, H, W) directly so the
-    3-channel img chain never materializes a minor-dim-3 NHWC tensor
-    (see ops.upsample2d_cm for the measured layout rationale)."""
+    Same math as torgb_apply (1x1 non-demodulated modconv), but the style
+    scale is folded into a PER-SAMPLE weight (B, Cin, Cout) — tiny — and
+    the whole layer is one batched dot_general. Rationale (r5,
+    tools/probe_sr_hlo.py): the xs = x·styles prescale on the big feature
+    tensor forced AD to save it and XLA to recompute chunks of the
+    forward chain in the backward (~11 GB extra HBM traffic at batch 2 —
+    the entire SR img-chain gap). With the fold, the backward touches
+    only x (already live for the conv path) and (B, Cin, Cout) weights,
+    and the output lands channel-major so the 3-channel img chain never
+    materializes a minor-dim-3 NHWC tensor."""
     in_ch = p["weight"].shape[2]
     styles = ops.fully_connected(w, **p["affine"])
     styles = styles * (1.0 / math.sqrt(in_ch))  # weight_gain (kernel 1)
-    xs = x * styles[:, None, None, :].astype(x.dtype)
-    w1 = p["weight"][0, 0].astype(x.dtype)                      # (Cin, Cout)
-    y = jax.lax.dot_general(w1, xs, (((0,), (3,)), ((), ())))  # (Co,B,H,W)
-    y = jnp.transpose(y, (1, 0, 2, 3))  # major-dims-only: minor stays W
+    wb = p["weight"][0, 0][None] * styles[:, :, None]  # (B, Cin, Cout)
+    wb = wb.astype(x.dtype)
+    # (B,Cin,Cout) x (B,H,W,Cin) -> (B, Cout, H, W): batched, contracting
+    # Cin, output already channel-major (minor dim W).
+    y = jax.lax.dot_general(wb, x, (((1,), (3,)), ((0,), (0,))))
     y = y + p["bias"].astype(y.dtype)[None, :, None, None]
     if conv_clamp is not None:
         y = jnp.clip(y, -conv_clamp, conv_clamp)
