@@ -309,22 +309,74 @@ def modulated_conv2d(
     padding: int = 0,
     resample_filter: jax.Array | np.ndarray | None = None,
     eps: float = 1e-8,
+    fused: bool = False,
 ) -> jax.Array:
     """Style-modulated conv with optional 2x upsample, MXU-friendly.
 
     Implements the StyleGAN2 op (the `modulated_conv2d` reached through the
-    EG3D pickle at reference headnerf.py:112) in the *unfused* formulation:
+    EG3D pickle at reference headnerf.py:112). Two formulations, same math:
 
-        y = d ⊙ conv(x ⊙ s, w),   d_o = rsqrt(Σ_{i,k} (w_oik s_i)^2 + eps)
+    unfused (default):  y = d ⊙ conv(x ⊙ s, w),
+                        d_o = rsqrt(Σ_{i,k} (w_oik s_i)^2 + eps)
+    — one shared conv weight, but the x·s prescale and y·d postscale are
+    full passes over the big activation (and AD residuals of both).
 
-    which is algebraically identical to per-sample weight modulation but
-    keeps a single shared conv weight (one big MXU matmul, no per-sample
-    weight tensors in HBM).
+    fused:  per-sample weights w_b = w · s_b · d_b (tiny: B·k²·Cin·Cout)
+    run as ONE conv with `batch_group_count=B` — no big elementwise pre/
+    post passes at all. This is the reference op's own small-batch path
+    (StyleGAN2 `fused_modconv`); on TPU it trades those HBM passes for a
+    grouped conv.
 
     With up=2 the zero-stuffed upsample rides the same conv via
     `lhs_dilation`, followed by the FIR smoothing filter (gain=4).
     """
     kh, kw, cin, cout = weight.shape
+
+    if resample_filter is None:
+        resample_filter = make_fir_kernel([1, 3, 3, 1])
+    elif not hasattr(resample_filter, "ndim") \
+            or np.asarray(resample_filter).ndim == 1:
+        resample_filter = make_fir_kernel(resample_filter)
+    fh = np.asarray(resample_filter).shape[0]
+    # up=2: pad so the pre-FIR size is 2H+kh-2 (matches
+    # conv_transpose(stride=2)); after FIR: (2H+kh-2)+p0+p1-fh+1 == 2H.
+    ptot = fh + 1 - kh
+    fp0, fp1 = (ptot + 1) // 2, ptot // 2
+
+    if fused:
+        b = x.shape[0]
+        w32 = weight.astype(jnp.float32)[None] \
+            * styles.astype(jnp.float32)[:, None, None, :, None]
+        if demodulate:
+            d = jax.lax.rsqrt(jnp.sum(jnp.square(w32), axis=(1, 2, 3),
+                                      keepdims=True) + eps)
+            w32 = w32 * d
+        # (kh, kw, Cin, B*Cout); batch group g consumes lhs batch g and
+        # produces the g-th Cout block (verified vs unfused, test_ops)
+        wb = jnp.transpose(w32, (1, 2, 3, 0, 4)).reshape(
+            kh, kw, cin, b * cout).astype(x.dtype)
+        if up == 1:
+            y = jax.lax.conv_general_dilated(
+                x, wb, window_strides=(1, 1),
+                padding=((padding, padding), (padding, padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                batch_group_count=b)
+        elif up == 2:
+            y = jax.lax.conv_general_dilated(
+                x, wb, window_strides=(1, 1),
+                padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                batch_group_count=b)
+            # FIR is per-channel — apply on the (1, H, W, B*Cout) grouped
+            # output, then unblock
+            y = upfirdn2d(y, resample_filter, pad=(fp0, fp1), gain=4.0)
+        else:
+            raise NotImplementedError(f"up={up}")
+        y = jnp.transpose(y.reshape(y.shape[1], y.shape[2], b, cout),
+                          (2, 0, 1, 3))
+        return y
+
     w = weight.astype(x.dtype)
     s = styles.astype(x.dtype)
 
@@ -337,25 +389,15 @@ def modulated_conv2d(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     elif up == 2:
-        # zero-stuff (lhs_dilation=2) + conv in one call; pad so the
-        # pre-FIR size is 2H+kh-2 (matches conv_transpose(stride=2)), then
-        # FIR-smooth down to exactly 2H.
+        # zero-stuff (lhs_dilation=2) + conv in one call, then FIR-smooth
+        # down to exactly 2H.
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1),
             padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if resample_filter is None:
-            resample_filter = make_fir_kernel([1, 3, 3, 1])
-        elif not hasattr(resample_filter, "ndim") \
-                or np.asarray(resample_filter).ndim == 1:
-            resample_filter = make_fir_kernel(resample_filter)
-        fh = np.asarray(resample_filter).shape[0]
-        # output after FIR: (2H + kh - 2) + p0 + p1 - fh + 1 == 2H
-        ptot = fh + 1 - kh
-        p0, p1 = (ptot + 1) // 2, ptot // 2
-        y = upfirdn2d(y, resample_filter, pad=(p0, p1), gain=4.0)
+        y = upfirdn2d(y, resample_filter, pad=(fp0, fp1), gain=4.0)
     else:
         raise NotImplementedError(f"up={up}")
 

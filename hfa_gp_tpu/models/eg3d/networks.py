@@ -42,6 +42,9 @@ class BackboneConfig:
     channel_max: int = 512
     conv_clamp: float | None = 256.0
     fir: tuple[int, ...] = (1, 3, 3, 1)
+    # per-sample fused-weight modconv (batch_group_count) instead of the
+    # x*s / y*d prescale-postscale formulation; see ops.modulated_conv2d
+    fused_modconv: bool = False
 
     def channels(self, res: int) -> int:
         return min(self.channel_base // res, self.channel_max)
@@ -82,6 +85,7 @@ class SRConfig:
     conv_clamp: float | None = 256.0
     antialias: bool = True
     fir: tuple[int, ...] = (1, 3, 3, 1)
+    fused_modconv: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -163,12 +167,13 @@ def mapping_apply(params: Params, cfg: MappingConfig, num_ws: int,
 def synth_layer_apply(p: Params, x: jax.Array, w: jax.Array, *,
                       up: int = 1, fir, conv_clamp,
                       noise_mode: str = "const",
-                      rng: jax.Array | None = None) -> jax.Array:
+                      rng: jax.Array | None = None,
+                      fused_modconv: bool = False) -> jax.Array:
     """StyleGAN2 SynthesisLayer: modconv(+up) → noise → bias+lrelu+clamp."""
     styles = ops.fully_connected(w, **p["affine"])
     y = ops.modulated_conv2d(x, p["weight"], styles, up=up,
                              padding=p["weight"].shape[0] // 2,
-                             resample_filter=fir)
+                             resample_filter=fir, fused=fused_modconv)
     if "noise_strength" in p and noise_mode != "none":
         if noise_mode == "const":
             noise = p["noise_const"]
@@ -240,7 +245,8 @@ def block_apply(p: Params, x: jax.Array | None, img: jax.Array | None,
                 up: bool, noise_mode: str = "const",
                 rng: jax.Array | None = None,
                 compute_dtype=jnp.float32,
-                img_cm: bool = False
+                img_cm: bool = False,
+                fused_modconv: bool = False
                 ) -> tuple[jax.Array, jax.Array]:
     """One skip-architecture SynthesisBlock.
 
@@ -258,11 +264,12 @@ def block_apply(p: Params, x: jax.Array | None, img: jax.Array | None,
         x = x.astype(compute_dtype)
         x = synth_layer_apply(p["conv0"], x, ws_block[:, w_i], up=2 if up
                               else 1, fir=fir, conv_clamp=conv_clamp,
-                              noise_mode=noise_mode, rng=rngs[0])
+                              noise_mode=noise_mode, rng=rngs[0],
+                              fused_modconv=fused_modconv)
         w_i += 1
     x = synth_layer_apply(p["conv1"], x, ws_block[:, w_i], fir=fir,
                           conv_clamp=conv_clamp, noise_mode=noise_mode,
-                          rng=rngs[1])
+                          rng=rngs[1], fused_modconv=fused_modconv)
     w_i += 1
     torgb = torgb_apply_cm if img_cm else torgb_apply
     y = torgb(p["torgb"], x, ws_block[:, w_i], conv_clamp=conv_clamp)
@@ -323,7 +330,8 @@ def backbone_apply(params: Params, cfg: BackboneConfig, ws: jax.Array, *,
         x, img = block_apply(params[f"b{res}"], x, img, ws_block,
                              fir=cfg.fir, conv_clamp=cfg.conv_clamp,
                              up=not is_first, noise_mode=noise_mode,
-                             rng=rngs[i], compute_dtype=compute_dtype)
+                             rng=rngs[i], compute_dtype=compute_dtype,
+                             fused_modconv=cfg.fused_modconv)
         w_idx += num_conv
     return img
 
@@ -370,9 +378,11 @@ def superresolution_apply(params: Params, cfg: SRConfig, rgb: jax.Array,
     x, rgb = block_apply(params["block0"], x, rgb, w_last, fir=cfg.fir,
                          conv_clamp=cfg.conv_clamp, up=True,
                          noise_mode=noise_mode, rng=rngs[0],
-                         compute_dtype=compute_dtype, img_cm=True)
+                         compute_dtype=compute_dtype, img_cm=True,
+                         fused_modconv=cfg.fused_modconv)
     x, rgb = block_apply(params["block1"], x, rgb, w_last, fir=cfg.fir,
                          conv_clamp=cfg.conv_clamp, up=True,
                          noise_mode=noise_mode, rng=rngs[1],
-                         compute_dtype=compute_dtype, img_cm=True)
+                         compute_dtype=compute_dtype, img_cm=True,
+                         fused_modconv=cfg.fused_modconv)
     return jnp.transpose(rgb, (0, 2, 3, 1))

@@ -133,6 +133,35 @@ def test_modulated_conv2d_matches_fused_formulation():
                                atol=1e-4)
 
 
+def test_modulated_conv2d_fused_matches_unfused():
+    """fused=True (per-sample weights, batch_group_count) == the default
+    prescale/postscale formulation — outputs AND gradients, up=1 and
+    up=2, with and without demodulation."""
+    rng = np.random.default_rng(9)
+    b, h, cin, cout = 2, 8, 4, 6
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(
+        np.float32))
+    s = jnp.asarray(rng.standard_normal((b, cin)).astype(np.float32) + 1.5)
+    for up in (1, 2):
+        for demod in (True, False):
+            kw = dict(demodulate=demod, up=up, padding=1)
+            ref = ops.modulated_conv2d(x, w, s, **kw)
+            got = ops.modulated_conv2d(x, w, s, fused=True, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5)
+
+            def loss(x_, w_, s_, fused):
+                y = ops.modulated_conv2d(x_, w_, s_, fused=fused, **kw)
+                return jnp.sum(jnp.sin(y))
+
+            g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, w, s, False)
+            g_fus = jax.grad(loss, argnums=(0, 1, 2))(x, w, s, True)
+            for a, c in zip(g_ref, g_fus):
+                np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                           rtol=1e-3, atol=1e-4)
+
+
 def test_modulated_conv2d_up2_matches_transpose_then_fir():
     """up=2 path: zero-stuff+conv then FIR == conv_transpose(stride 2) then
     FIR with the stylegan pad rule, and the output is exactly 2x."""

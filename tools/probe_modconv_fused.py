@@ -84,27 +84,8 @@ def fused_case(name, res, c, up=1):
     ss = jax.random.normal(jax.random.PRNGKey(2), (B, c), jnp.float32)
 
     def loss(x_, w_, s_):
-        kh_, kw_, ci_, co_ = w_.shape
-        wb_ = w_[None] * s_[:, None, None, :, None]
-        d_ = jax.lax.rsqrt(jnp.sum(jnp.square(wb_), axis=(1, 2, 3),
-                                   keepdims=True) + 1e-8)
-        wb_ = (wb_ * d_)
-        wbt_ = jnp.transpose(wb_, (1, 2, 3, 0, 4)).reshape(
-            kh_, kw_, ci_, B * co_).astype(x_.dtype)
-        if up == 1:
-            y_ = jax.lax.conv_general_dilated(
-                x_, wbt_, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                batch_group_count=B)
-        else:
-            y_ = jax.lax.conv_general_dilated(
-                x_, wbt_, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                batch_group_count=B)
-            y_ = ops.upfirdn2d(y_, ops.make_fir_kernel(FIR), pad=(1, 1),
-                               gain=4.0)
-        y_ = jnp.transpose(y_.reshape(y_.shape[1], y_.shape[2], B, co_),
-                           (2, 0, 1, 3))
+        y_ = ops.modulated_conv2d(x_, w_, s_, up=up, padding=1,
+                                  resample_filter=FIR, fused=True)
         return jnp.mean(jnp.abs(y_.astype(jnp.float32)))
 
     g = jax.jit(lambda x_, w_, s_: sum(
@@ -117,4 +98,6 @@ unfused_case("sr-ish", 512, 128)
 fused_case("sr-ish", 512, 128)
 unfused_case("sr-ish", 256, 256)
 fused_case("sr-ish", 256, 256)
+unfused_case("sr-up", 256, 256, up=2)
+fused_case("sr-up", 256, 256, up=2)
 print("DONE", flush=True)
