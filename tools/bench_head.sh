@@ -22,7 +22,16 @@ stdbuf -o0 timeout -k 30 900 python tools/bench_train.py 2 2>&1 | tail -4 | tee 
 log "bench_train.py batch 4"
 stdbuf -o0 timeout -k 30 900 python tools/bench_train.py 4 2>&1 | tail -4 | tee -a "$OUT"
 
+log "bench_train.py batch 8 (r5: post-marcher-fix re-measure)"
+stdbuf -o0 timeout -k 30 1200 python tools/bench_train.py 8 2>&1 | tail -4 | tee -a "$OUT"
+
+log "bench_train.py batch 16"
+stdbuf -o0 timeout -k 30 1200 python tools/bench_train.py 16 2>&1 | tail -4 | tee -a "$OUT"
+
 log "bench_arcface.py 1M ids (bf16 conv path)"
 stdbuf -o0 timeout -k 30 2000 python tools/bench_arcface.py 1000000 40 2>&1 | tail -4 | tee -a "$OUT"
+
+log "bench_arcface.py 1M ids batch 512"
+ARC_BATCH=512 stdbuf -o0 timeout -k 30 2000 python tools/bench_arcface.py 1000000 40 2>&1 | tail -4 | tee -a "$OUT"
 
 log "done"
