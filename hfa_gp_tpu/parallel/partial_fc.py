@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from . import pallas_ce
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 Params = dict[str, Any]
@@ -125,14 +126,22 @@ def _ce_block_stats(norm_emb: jax.Array, w_blk: jax.Array,
     the margined target logit for rows whose target lands in this block
     (col = local label − block start). Differentiable wrt both args —
     the blockwise custom-VJP backward re-enters this via jax.vjp."""
+    # Column norms folded into the LOGIT columns (raw·inv) instead of
+    # prescaling the (k, d) rows: the normalized-copy form made the
+    # reduction and the normalize two SEQUENTIAL passes over the block
+    # (the second depends on the first's result), plus a (k, d)
+    # materialization in fwd and again in the bwd recompute; here the
+    # norm reduction and the matmul cast are independent single reads
+    # and the scale is an O(B·k) output epilogue. Same math — bf16
+    # rounding commutes with the per-row scale to O(eps).
     inv = jax.lax.rsqrt(jnp.sum(jnp.square(w_blk), axis=1))
-    norm_w = w_blk * inv[:, None]
     ne = norm_emb
+    wb = w_blk
     if mm_dtype is not None:
         ne = ne.astype(mm_dtype)
-        norm_w = norm_w.astype(mm_dtype)
-    logits = jnp.dot(ne, norm_w.T, preferred_element_type=jnp.float32)
-    logits = jnp.clip(logits, -1.0, 1.0)
+        wb = wb.astype(mm_dtype)
+    raw = jnp.dot(ne, wb.T, preferred_element_type=jnp.float32)
+    logits = jnp.clip(raw * inv[None, :], -1.0, 1.0)
     b, k = logits.shape
     rows = jnp.arange(b)
     in_blk = (col >= 0) & (col < k)
@@ -220,7 +229,9 @@ def _make_blockwise_stats(s: float, m1: float, m2: float, m3: float,
 def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
                        local_lab: jax.Array, s: float, m1: float,
                        m2: float, m3: float, mm_dtype=None,
-                       block_rows: int | None = None) -> jax.Array:
+                       block_rows: int | None = None,
+                       ce_pallas: bool | str = "auto",
+                       pallas_interpret: bool = False) -> jax.Array:
     """Inside shard_map: emb (B, d) global batch, w_used (rows, d) this
     shard's class centers (full or sampled), local_lab (B,) column of
     each row's positive in w_used or −1. Margin on the target column,
@@ -234,10 +245,45 @@ def _margin_softmax_ce(emb: jax.Array, w_used: jax.Array,
 
     block_rows: when set and it divides the shard's row count (>1
     block), CE statistics stream over class blocks (see
-    _make_blockwise_stats) instead of materializing (B, rows) logits."""
+    _make_blockwise_stats) instead of materializing (B, rows) logits.
+
+    ce_pallas: True / "auto" route the statistics through the Pallas
+    flash-CE kernel (parallel/pallas_ce.py) — the logits never leave
+    VMEM, vs the blockwise path whose per-block logits round-trip HBM
+    between the matmul and the exp/sum (~3× its floor at 1M ids b512,
+    measured r5). "auto" = on when on a TPU backend and the shapes fit
+    (B and d multiples of 128, class rows tileable by 8)."""
     norm_emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
     rows_total = w_used.shape[0]
-    if (block_rows is not None and rows_total % block_rows == 0
+    b, dim = norm_emb.shape
+    want_pallas = (ce_pallas is True
+                   or (ce_pallas == "auto"
+                       and jax.default_backend() == "tpu"))
+    tile_f = tile_b = None
+    if want_pallas and b % 128 == 0 and dim % 128 == 0:
+        tile_f = pallas_ce.pick_tile(rows_total, 1024)
+        tile_b = pallas_ce.pick_tile(rows_total, 800)
+        if (ce_pallas == "auto" and tile_f is not None
+                and rows_total // tile_f <= 1):
+            tile_f = None   # table small enough that direct is optimal
+    if tile_f is not None and tile_b is not None:
+        se_x, tgt_raw = pallas_ce.flash_ce_stats(
+            norm_emb, w_used, local_lab, float(s), mm_dtype,
+            tile_f, tile_b, pallas_interpret)
+        has = local_lab >= 0
+        tgt_m = combined_margin(tgt_raw, m1, m2, m3)
+        # the kernel EXCLUDES the target column from its sum-exp; the
+        # margined term is added back here with the SAME exp that
+        # produced tgt_logit, so denom ≥ target-term holds by
+        # construction. (Subtracting a host-side exp(s·tgt−s) recompute
+        # from a kernel-side total is wrong on hardware: Mosaic's
+        # exp/MXU rounding differs from XLA's by ~s·Δcos, and on
+        # memorized rows the residue drove the denominator below the
+        # margined term → negative CE loss, r5.)
+        se = se_x + jnp.where(has, jnp.exp(tgt_m * s - s), 0.0)
+        tgt_logit = jnp.where(has, tgt_m * s, 0.0)
+        local_max = jnp.full((b,), s, jnp.float32)
+    elif (block_rows is not None and rows_total % block_rows == 0
             and rows_total // block_rows > 1):
         stats = _make_blockwise_stats(s, m1, m2, m3, mm_dtype, block_rows)
         se, tgt_logit = stats(norm_emb, w_used, local_lab)
@@ -342,7 +388,9 @@ class PartialFC:
                  embedding_dim: int = 512, *, s: float = 64.0,
                  m1: float = 1.0, m2: float = 0.5, m3: float = 0.0,
                  sample_rate: float = 1.0, matmul_dtype=None,
-                 ce_block_rows: int | str | None = "auto"):
+                 ce_block_rows: int | str | None = "auto",
+                 ce_pallas: bool | str = "auto",
+                 pallas_interpret: bool = False):
         self.mesh = mesh
         self.n_model = mesh.shape[MODEL_AXIS]
         self.n_data = mesh.shape[DATA_AXIS]
@@ -362,6 +410,10 @@ class PartialFC:
         if ce_block_rows == "auto":
             ce_block_rows = _pick_ce_block(self.num_local)
         self.ce_block_rows = ce_block_rows
+        # flash-CE kernel switch ("auto" = TPU backend + shapes fit;
+        # the blockwise/direct XLA paths remain the fallback)
+        self.ce_pallas = ce_pallas
+        self.pallas_interpret = pallas_interpret
 
     def init(self, key: jax.Array) -> jax.Array:
         """Shard-local init: jit with out_shardings lets the partitioner
@@ -448,6 +500,7 @@ class PartialFC:
         num_local, num_sample = self.num_local, self.num_sample
         s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
         mm_dtype = self.matmul_dtype
+        ce_pallas, interp = self.ce_pallas, self.pallas_interpret
 
         def shard_fn(w_local, emb_local, lab_local, idx_local):
             emb = jax.lax.all_gather(emb_local, DATA_AXIS, axis=0,
@@ -458,7 +511,9 @@ class PartialFC:
             local_lab = _shard_local_labels(lab, shard_idx, num_local)
             local_lab = _remap_to_sampled(local_lab, idx_local)
             return _margin_softmax_ce(emb, w_local, local_lab,
-                                      s, m1, m2, m3, mm_dtype)
+                                      s, m1, m2, m3, mm_dtype,
+                                      ce_pallas=ce_pallas,
+                                      pallas_interpret=interp)
 
         fn = shard_map(
             shard_fn, mesh=self.mesh,
@@ -481,6 +536,7 @@ class PartialFC:
         s, m1, m2, m3 = self.s, self.m1, self.m2, self.m3
         mm_dtype = self.matmul_dtype
         block_rows = None if sampled else self.ce_block_rows
+        ce_pallas, interp = self.ce_pallas, self.pallas_interpret
 
         def shard_fn(w_local, emb_local, lab_local, key):
             # all-gather the DP batch so every model shard sees the global
@@ -502,7 +558,9 @@ class PartialFC:
 
             return _margin_softmax_ce(emb, w_used, local_lab,
                                       s, m1, m2, m3, mm_dtype,
-                                      block_rows=block_rows)
+                                      block_rows=block_rows,
+                                      ce_pallas=ce_pallas,
+                                      pallas_interpret=interp)
 
         if sample_key is None:
             if sampled:

@@ -320,3 +320,82 @@ def test_sampling_keeps_all_positives_past_num_sample(mesh):
     w_sub = pfc.take_rows(w_s, index)
     loss = pfc.loss_sampled(w_sub, emb_s, lab_s, index)
     assert np.isfinite(float(loss))
+
+
+def test_flash_ce_kernel_matches_dense_stats():
+    """parallel/pallas_ce.flash_ce_stats (interpret mode) == dense
+    clipped-cosine statistics — values AND grads, incl. label −1 rows
+    and a multi-tile grid with different fwd/bwd tiles."""
+    from hfa_gp_tpu.parallel.pallas_ce import flash_ce_stats
+
+    rng = np.random.default_rng(11)
+    b, dim, c, s = 128, 128, 96, 64.0
+    ne = rng.standard_normal((b, dim)).astype(np.float32)
+    ne /= np.linalg.norm(ne, axis=1, keepdims=True)
+    w = rng.standard_normal((c, dim)).astype(np.float32)
+    lab = rng.integers(-1, c, b).astype(np.int32)
+
+    def dense(ne_, w_):
+        nw = w_ / jnp.linalg.norm(w_, axis=1, keepdims=True)
+        logit = jnp.clip(ne_ @ nw.T, -1, 1)
+        tgt = jnp.where(lab >= 0,
+                        logit[jnp.arange(b), jnp.maximum(lab, 0)], 0.0)
+        # target column EXCLUDED, matching the kernel's contract (the
+        # caller re-adds the margined term — the exclusion is what
+        # keeps denom ≥ target-term exact on hardware)
+        e = jnp.exp(logit * s - s)
+        e = jnp.where(jnp.arange(c)[None, :] == lab[:, None], 0.0, e)
+        return jnp.sum(e, axis=1), tgt
+
+    def scalarize(fn):
+        def g(ne_, w_):
+            se, tgt = fn(ne_, w_)
+            return jnp.sum(jnp.log(se) * jnp.cos(tgt))
+        return g
+
+    flash = lambda ne_, w_: flash_ce_stats(ne_, w_, jnp.asarray(lab),
+                                           s, None, 32, 16, True)
+    se_p, tgt_p = flash(jnp.asarray(ne), jnp.asarray(w))
+    se_d, tgt_d = dense(jnp.asarray(ne), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(se_p), np.asarray(se_d),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt_p), np.asarray(tgt_d),
+                               rtol=1e-5, atol=1e-6)
+    gp = jax.grad(scalarize(flash), argnums=(0, 1))(
+        jnp.asarray(ne), jnp.asarray(w))
+    gd = jax.grad(scalarize(dense), argnums=(0, 1))(
+        jnp.asarray(ne), jnp.asarray(w))
+    # atol 1e-4: per-tile fp32 accumulation vs the dense one-shot matmul
+    # reorders sums, and s=64 amplifies exp-path rounding ~s·e
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gd[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gd[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flash_ce_loss_matches_dense(mesh):
+    """PartialFC(ce_pallas=True) end to end on the sharded mesh ==
+    dense margin softmax (loss AND grads) — the Pallas flash-CE path is
+    numerically interchangeable with the XLA paths."""
+    num_classes, dim, b = 512, 128, 128
+    rng = np.random.default_rng(13)
+    w = rng.standard_normal((num_classes, dim)).astype(np.float32)
+    emb = rng.standard_normal((b, dim)).astype(np.float32)
+    labels = rng.integers(0, num_classes, b).astype(np.int32)
+
+    pfc = PartialFC(mesh, num_classes, dim, ce_pallas=True,
+                    pallas_interpret=True)
+    w_sharded = jax.device_put(jnp.asarray(w), pfc.weight_sharding())
+    emb_s, lab_s = mesh_mod.shard_batch(mesh, (jnp.asarray(emb),
+                                               jnp.asarray(labels)))
+    loss, (gw, ge) = jax.value_and_grad(
+        lambda W, E: pfc.loss(W, E, lab_s), argnums=(0, 1))(
+        w_sharded, emb_s)
+    want, (gw_d, ge_d) = jax.value_and_grad(
+        dense_margin_ce, argnums=(0, 1))(
+        jnp.asarray(w), jnp.asarray(emb), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_d),
+                               rtol=1e-4, atol=1e-6)

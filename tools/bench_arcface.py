@@ -35,10 +35,12 @@ def run(num_classes: int, sample_rate: float, steps: int) -> float:
     mesh = mesh_mod.make_mesh(n_data=1, n_model=1,
                               devices=jax.devices()[:1])
     ce_blk = os.environ.get("ARC_CE_BLOCK", "auto")   # "0" = direct CE
+    ce_pal = os.environ.get("ARC_CE_PALLAS", "auto")  # "0" = XLA paths
     pfc = PartialFC(mesh, num_classes=num_classes, embedding_dim=512,
                     sample_rate=sample_rate, matmul_dtype=jnp.bfloat16,
                     ce_block_rows=None if ce_blk == "0" else
-                    ("auto" if ce_blk == "auto" else int(ce_blk)))
+                    ("auto" if ce_blk == "auto" else int(ce_blk)),
+                    ce_pallas=False if ce_pal == "0" else ce_pal)
     tx, fc_tx = arc.make_optimizers(total_steps=10_000, lr=0.1)
     step = arc.make_train_step(pfc, tx, fc_tx, NETWORK,
                                dtype=jnp.bfloat16, donate=True)

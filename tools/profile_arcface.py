@@ -52,8 +52,10 @@ def timed(name, fn, *args):
 def main():
     mesh = mesh_mod.make_mesh(n_data=1, n_model=1,
                               devices=jax.devices()[:1])
+    ce_pal = os.environ.get("ARC_CE_PALLAS", "auto")  # "0" = XLA paths
     pfc = PartialFC(mesh, num_classes=IDS, embedding_dim=512,
-                    matmul_dtype=DTYPE)
+                    matmul_dtype=DTYPE,
+                    ce_pallas=False if ce_pal == "0" else ce_pal)
     tx, fc_tx = arc.make_optimizers(total_steps=10_000, lr=0.1)
     with jax.sharding.set_mesh(mesh):
         state = arc.init_state(jax.random.PRNGKey(0), pfc, tx, fc_tx,
